@@ -1,0 +1,38 @@
+"""Test configuration: force a virtual 8-device CPU platform.
+
+Multi-chip sharding paths are exercised on a fake mesh of 8 CPU devices
+(standing in for a TPU slice), as recommended for host-level testing of
+``jax.sharding`` programs. Must run before JAX initializes its backends.
+"""
+
+import os
+
+# Force-override: the session environment pre-sets JAX_PLATFORMS=axon (the
+# tunneled TPU); tests must run on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import sys  # noqa: E402
+
+REFERENCE_PATH = "/root/reference"
+
+
+def reference_go_engine(board_size: int):
+    """Import the reference Go engine as a move-for-move parity oracle.
+
+    The reference reads the board size from the BOARD_SIZE env var at import
+    time (go_engine.py:31), so we reload the module per requested size.
+    """
+    import importlib
+
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    os.environ["BOARD_SIZE"] = str(board_size)
+    import alpha_zero.envs.go_engine as go_engine  # type: ignore
+
+    if go_engine.N != board_size:
+        go_engine = importlib.reload(go_engine)
+    assert go_engine.N == board_size
+    return go_engine
