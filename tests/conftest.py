@@ -16,6 +16,12 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import sys  # noqa: E402
 
+import jax  # noqa: E402
+
+# Persistent compilation cache: makes repeated test runs fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 REFERENCE_PATH = "/root/reference"
 
 
