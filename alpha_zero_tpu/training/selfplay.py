@@ -1,0 +1,293 @@
+"""Device-resident batched self-play.
+
+The reference's actor fleet — N processes each deep-copying a Python env per
+MCTS simulation (`run_selfplay_actor_loop` pipeline.py:166-286,
+`play_and_record_one_game` :289-382) — becomes ONE jitted program stepping
+thousands of games in lockstep:
+
+    selfplay_step:  batched MCTS  ->  temperature policy  ->  move sampling
+                    -> resignation logic -> batched engine step -> auto-reset
+
+Per call it emits one transition per live game (root observation, search
+policy, metadata); the host accumulates per-game episodes and finalizes them
+(z-target assignment per pipeline.py:349-354) into the replay buffer when
+games complete. Game completion resets the slot in place, so the batch never
+idles.
+
+Resignation parity (pipeline.py:328-341, 361-365): per-game resign-disabled
+flags sampled at game start with probability ``disable_resign_ratio``; a game
+is "marked" the first time both root Q and best-child Q fall below the
+threshold after ``check_resign_after_steps``; marked games with resignation
+enabled actually resign, disabled ones play on to measure false positives.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from alpha_zero_tpu.envs.types import RESIGN, GameState
+from alpha_zero_tpu.search import mcts
+
+
+@struct.dataclass
+class SelfplayState:
+    """Batched device state carried across self-play steps."""
+
+    games: GameState              # [B] live games (never done on entry)
+    resign_disabled: jnp.ndarray  # bool[B]
+    marked_resign_player: jnp.ndarray  # int8[B]; 0 = unmarked
+
+
+class StepOutput(NamedTuple):
+    """Per-move record for every game slot (host copies these out)."""
+
+    obs: jnp.ndarray            # [B, N, N, C] int8 root observation
+    search_pi: jnp.ndarray      # [B, A] f32
+    to_play: jnp.ndarray        # [B] i8 (player who chose the move)
+    move: jnp.ndarray           # [B] i32 (RESIGN == -1)
+    root_q: jnp.ndarray         # [B] f32
+    best_child_q: jnp.ndarray   # [B] f32
+    # Game-completion info (valid where done):
+    done: jnp.ndarray           # [B] bool
+    winner: jnp.ndarray         # [B] i8
+    resigned: jnp.ndarray       # [B] bool
+    final_score: jnp.ndarray    # [B] f32
+    game_length: jnp.ndarray    # [B] i32
+    num_passes: jnp.ndarray     # [B] i32
+    was_resign_disabled: jnp.ndarray    # [B] bool
+    marked_resign_player: jnp.ndarray   # [B] i8
+
+
+def init_selfplay_state(engine, batch_size: int, rng: jax.Array,
+                        resign_threshold: float,
+                        disable_resign_ratio: float) -> SelfplayState:
+    games = engine.init_batch(batch_size)
+    disabled = _sample_resign_disabled(
+        rng, batch_size, engine.has_resign_move, resign_threshold, disable_resign_ratio
+    )
+    return SelfplayState(
+        games=games,
+        resign_disabled=disabled,
+        marked_resign_player=jnp.zeros((batch_size,), jnp.int8),
+    )
+
+
+def _sample_resign_disabled(rng, batch_size, has_resign, threshold, ratio):
+    """Parity with pipeline.py:244-246: resign enabled (disabled=False) iff
+    the env supports it, the threshold is active, and rand() > ratio."""
+    if not has_resign:
+        return jnp.ones((batch_size,), jnp.bool_)
+    u = jax.random.uniform(rng, (batch_size,))
+    enabled = (threshold > -1.0) & (u > ratio)
+    return ~enabled
+
+
+def make_selfplay_step(
+    engine,
+    net,
+    search_cfg,
+    resign_cfg,
+    deterministic: bool = False,
+    root_noise: bool = True,
+) -> Callable:
+    """Builds the jitted self-play step.
+
+    Returns ``step(variables, sp_state, rng, resign_threshold) ->
+    (new_sp_state, StepOutput)`` where ``variables`` is the Flax variable
+    dict and ``resign_threshold`` a host-controlled f32 scalar (the learner's
+    dynamic controller feeds it in, replacing the reference's
+    ``var_resign_threshold`` shared value)."""
+
+    has_pass = engine.has_pass_move
+    pass_move = engine.pass_move if has_pass else None
+    has_resign = engine.has_resign_move
+    warm_up_steps = search_cfg.warm_up_steps
+    check_after = resign_cfg.check_resign_after_steps
+    disable_ratio = resign_cfg.disable_resign_ratio
+
+    def eval_fn_factory(variables):
+        def eval_fn(obs):
+            out = net.apply(variables, obs, train=False)
+            return jax.nn.softmax(out.pi_logits, axis=-1), out.value
+
+        return eval_fn
+
+    def selfplay_step(variables, sp: SelfplayState, rng: jax.Array,
+                      resign_threshold: jnp.ndarray):
+        rng_search, rng_move, rng_resign = jax.random.split(rng, 3)
+        games = sp.games
+        batch = games.done.shape[0]
+
+        obs = jax.vmap(engine.observation)(games)
+        result = mcts.batched_search(
+            eval_fn_factory(variables), engine, games, rng_search,
+            num_simulations=search_cfg.num_simulations,
+            c_puct_base=search_cfg.c_puct_base,
+            c_puct_init=search_cfg.c_puct_init,
+            root_noise=root_noise,
+            dirichlet_eps=search_cfg.dirichlet_eps,
+            dirichlet_alpha=search_cfg.dirichlet_alpha,
+        )
+
+        # warm_up iff env.steps <= warm_up_steps (pipeline.py:320).
+        warm_up = games.step_count <= warm_up_steps
+        search_pi = mcts.policy_from_counts(result.child_N, result.legal, warm_up)
+        move = mcts.sample_move(
+            rng_move, search_pi, result.legal, result.child_N, warm_up,
+            pass_move=pass_move, deterministic=deterministic,
+        )
+        best_q = mcts.best_child_q(result.child_N, result.child_W, move)
+
+        # Resignation (pipeline.py:328-341).
+        if has_resign:
+            active = resign_threshold > -1.0
+            signal = (
+                active
+                & (games.step_count > check_after)
+                & (result.root_Q < resign_threshold)
+                & (best_q < resign_threshold)
+            )
+            newly_marked = signal & (sp.marked_resign_player == 0)
+            marked = jnp.where(newly_marked, games.to_play, sp.marked_resign_player)
+            do_resign = signal & ~sp.resign_disabled
+            move = jnp.where(do_resign, jnp.int32(RESIGN), move)
+        else:
+            marked = sp.marked_resign_player
+
+        to_play = games.to_play
+        stepped = jax.vmap(engine.step)(games, move)
+        done = stepped.done
+
+        out = StepOutput(
+            obs=obs,
+            search_pi=search_pi,
+            to_play=to_play,
+            move=move,
+            root_q=result.root_Q,
+            best_child_q=best_q,
+            done=done,
+            winner=stepped.winner,
+            resigned=stepped.resigned,
+            final_score=stepped.final_score,
+            game_length=stepped.step_count,
+            num_passes=stepped.num_passes,
+            was_resign_disabled=sp.resign_disabled,
+            marked_resign_player=marked,
+        )
+
+        # Auto-reset finished slots; resample their resign-disabled flags.
+        fresh = engine.init_batch(batch)
+        new_games = jax.tree.map(
+            lambda f, s: jnp.where(
+                done.reshape((batch,) + (1,) * (s.ndim - 1)), f, s
+            ),
+            fresh, stepped,
+        )
+        new_disabled = _sample_resign_disabled(
+            rng_resign, batch, has_resign, resign_threshold, disable_ratio
+        )
+        new_sp = SelfplayState(
+            games=new_games,
+            resign_disabled=jnp.where(done, new_disabled, sp.resign_disabled),
+            marked_resign_player=jnp.where(done, jnp.int8(0), marked),
+        )
+        return new_sp, out
+
+    return jax.jit(selfplay_step, donate_argnums=(1,))
+
+
+# ---------------------------------------------------------------------------
+# Host-side episode accumulation
+# ---------------------------------------------------------------------------
+
+
+class FinishedGame(NamedTuple):
+    """One completed game, host-side (reference stats: pipeline.py:367-380)."""
+
+    states: np.ndarray     # [L, N, N, C] int8
+    pi_probs: np.ndarray   # [L, A] f32
+    values: np.ndarray     # [L] f32 z-targets
+    stats: dict
+
+
+class EpisodeAccumulator:
+    """Collects per-slot transitions; emits finished games with z-targets.
+
+    z assignment (pipeline.py:349-354): all-zero on draws, else +1 for steps
+    whose to-play player won, -1 otherwise.
+    """
+
+    def __init__(self, batch_size: int) -> None:
+        self.batch_size = batch_size
+        self._obs: list[list[np.ndarray]] = [[] for _ in range(batch_size)]
+        self._pi: list[list[np.ndarray]] = [[] for _ in range(batch_size)]
+        self._to_play: list[list[int]] = [[] for _ in range(batch_size)]
+
+    def add_step(self, out: StepOutput) -> list[FinishedGame]:
+        obs = np.asarray(out.obs)
+        pi = np.asarray(out.search_pi)
+        to_play = np.asarray(out.to_play)
+        move = np.asarray(out.move)
+        done = np.asarray(out.done)
+        winner = np.asarray(out.winner)
+
+        finished: list[FinishedGame] = []
+        for i in range(self.batch_size):
+            # Resign moves are not recorded as transitions (the reference
+            # appends the pre-move obs before stepping; on resign the step
+            # still happened after recording — keep identical behavior:
+            # the reference DOES record the transition for the resign step
+            # (episode_states.append before env.step, pipeline.py:323-343)).
+            self._obs[i].append(obs[i])
+            self._pi[i].append(pi[i])
+            self._to_play[i].append(int(to_play[i]))
+            if done[i]:
+                finished.append(self._finalize(i, out, i_winner=int(winner[i])))
+        return finished
+
+    def _finalize(self, i: int, out: StepOutput, i_winner: int) -> FinishedGame:
+        states = np.stack(self._obs[i])
+        pis = np.stack(self._pi[i])
+        to_plays = np.asarray(self._to_play[i], np.int8)
+        if i_winner == 0:
+            values = np.zeros(len(to_plays), np.float32)
+        else:
+            values = np.where(to_plays == i_winner, 1.0, -1.0).astype(np.float32)
+
+        marked = int(np.asarray(out.marked_resign_player)[i])
+        was_disabled = bool(np.asarray(out.was_resign_disabled)[i])
+        is_marked = was_disabled and marked != 0
+        is_could_won = is_marked and i_winner == marked
+
+        resigned = bool(np.asarray(out.resigned)[i])
+        score = float(np.asarray(out.final_score)[i])
+        if resigned:
+            result = "B+R" if i_winner == 1 else "W+R"
+        elif score > 0:
+            result = "B+%.1f" % score
+        elif score < 0:
+            result = "W+%.1f" % abs(score)
+        else:
+            result = "DRAW"
+
+        stats = {
+            "game_length": int(np.asarray(out.game_length)[i]),
+            "game_result": result,
+            "num_passes": int(np.asarray(out.num_passes)[i]),
+            "is_resign_disabled": was_disabled,
+            "is_marked_for_resign": is_marked,
+            "is_could_won": is_could_won,
+            "marked_resign_player": {1: "B", -1: "W", 0: None}[marked],
+            "winner": i_winner,
+        }
+
+        self._obs[i].clear()
+        self._pi[i].clear()
+        self._to_play[i].clear()
+        return FinishedGame(states=states, pi_probs=pis, values=values, stats=stats)
