@@ -1,0 +1,351 @@
+"""Single-host actor/learner pipeline as alternating jitted programs.
+
+The reference runs N actor processes + an evaluator process around a learner
+(training_go.py:276-381, pipeline.py:166-811), synchronized with mp.Events and
+a ckpt-file weight channel. On TPU the actor fleet *is* one batched self-play
+program, so the topology collapses to a sequential generation loop on one
+host driving the chip(s):
+
+    repeat:
+      1. self-play until `games_per_ckpt` new games finish
+         (`min_games` for the very first generation, pipeline.py:556-558)
+      2. run `ckpt_interval` SGD steps on replay samples (pipeline.py:570-581)
+      3. checkpoint + CSV metrics + resign-threshold controller updates
+
+Kept behaviors: games-per-checkpoint pacing, the dynamic resignation
+threshold controller with hard resets and FP-rate bookkeeping
+(pipeline.py:519-553, 656-670), warm-up temperature, CSV schemas, SGF dumps,
+replay save/restore, checkpoint resume.
+
+Documented deviation: the reference's generation fence drops games started
+under an older checkpoint (pipeline.py:492-493); with lockstep batched
+self-play, games in flight at a weight switch *continue under the new
+weights* instead of being discarded — no stale-weights data enters replay
+either way, and no work is thrown away.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alpha_zero_tpu.config import AlphaZeroConfig
+from alpha_zero_tpu.envs.go import GoEngine
+from alpha_zero_tpu.envs.gomoku import GomokuEngine
+from alpha_zero_tpu.models.resnet import build_network
+from alpha_zero_tpu.training import checkpoint as ckpt_lib
+from alpha_zero_tpu.training import learner as learner_lib
+from alpha_zero_tpu.training import selfplay as selfplay_lib
+from alpha_zero_tpu.training.replay import UniformReplay
+from alpha_zero_tpu.utils import sgf as sgf_lib
+from alpha_zero_tpu.utils.csv_writer import CsvWriter
+from alpha_zero_tpu.utils.logging import Timer, create_logger, get_time_stamp
+
+
+def build_engine(env_cfg):
+    if env_cfg.game == "go":
+        return GoEngine(board_size=env_cfg.board_size, num_stack=env_cfg.num_stack,
+                        komi=env_cfg.komi, max_steps=env_cfg.max_steps)
+    if env_cfg.game == "gomoku":
+        return GomokuEngine(board_size=env_cfg.board_size, num_stack=env_cfg.num_stack,
+                            num_to_win=env_cfg.num_to_win, max_steps=env_cfg.max_steps)
+    raise ValueError(f"unknown game {env_cfg.game}")
+
+
+def maybe_adjust_resign_threshold(current_v: float, current_rate: float,
+                                  target_rate: float, min_v: float = -0.9999,
+                                  smoothing_factor: float = 0.5) -> float:
+    """Threshold controller update (pipeline.py:656-670)."""
+    rate_delta = current_rate - target_rate
+    if rate_delta <= 0:
+        return current_v
+    new_v = current_v + current_v * rate_delta
+    smoothed_v = smoothing_factor * new_v + (1 - smoothing_factor) * current_v
+    return round(max(min_v, smoothed_v), 4)
+
+
+class ResignController:
+    """Dynamic resignation threshold with FP-rate tracking
+    (pipeline.py:449-460, 519-553)."""
+
+    def __init__(self, resign_cfg, games_per_ckpt: int, logger) -> None:
+        self.cfg = resign_cfg
+        self.games_per_ckpt = games_per_ckpt
+        self.logger = logger
+        self.resign_count = 0
+        self.last_resign_count = 0
+        self.could_won_count = 0
+        if not resign_cfg.enabled:
+            self.threshold = -1.0
+        elif resign_cfg.no_resign_games > 0:
+            self.threshold = -1.0
+        else:
+            self.threshold = resign_cfg.init_resign_threshold
+
+    def on_game(self, stats: dict, num_games_added: int) -> None:
+        cfg = self.cfg
+        if not cfg.enabled or num_games_added < cfg.no_resign_games:
+            return
+        if stats.get("is_resign_disabled") and stats.get("is_marked_for_resign"):
+            self.resign_count += 1
+            if stats.get("is_could_won"):
+                self.could_won_count += 1
+
+        if num_games_added == cfg.no_resign_games or (
+            cfg.reset_fp_interval > 0 and num_games_added % cfg.reset_fp_interval == 0
+        ):
+            self.resign_count = self.last_resign_count = self.could_won_count = 0
+            self.threshold = cfg.init_resign_threshold
+            self.logger.info(f"Reset resignation threshold to {self.threshold}")
+            return
+
+        adjust_every = int(self.games_per_ckpt * 0.5 * cfg.disable_resign_ratio * 0.5)
+        if (
+            adjust_every > 0
+            and self.resign_count > self.last_resign_count
+            and self.resign_count % adjust_every == 0
+        ):
+            self.last_resign_count = self.resign_count
+            fp_rate = 0.0 if self.resign_count == 0 else round(
+                self.could_won_count / self.resign_count, 4
+            )
+            new_threshold = maybe_adjust_resign_threshold(
+                self.threshold, fp_rate, cfg.target_fp_rate
+            )
+            if new_threshold != self.threshold:
+                self.logger.info(
+                    f"Resignation FP {fp_rate} vs target {cfg.target_fp_rate}: "
+                    f"threshold {self.threshold} -> {new_threshold}"
+                )
+                self.threshold = new_threshold
+
+
+class Trainer:
+    """Owns all state of a training run; ``run()`` drives it to completion."""
+
+    def __init__(self, cfg: AlphaZeroConfig) -> None:
+        self.cfg = cfg
+        self.logger = create_logger(cfg.run.log_level)
+        self.engine = build_engine(cfg.env)
+        self.net = build_network(cfg.env, cfg.network)
+
+        for d in (cfg.run.ckpt_dir, cfg.run.logs_dir, cfg.run.save_sgf_dir):
+            if d:
+                os.makedirs(d, exist_ok=True)
+
+        n = cfg.env.board_size
+        obs_shape = (n, n, cfg.env.num_planes)
+        self.tx, self.lr_schedule = learner_lib.make_optimizer(
+            cfg.train.init_lr, cfg.train.lr_decay, cfg.train.lr_milestones,
+            momentum=cfg.train.sgd_momentum, weight_decay=cfg.train.l2_regularization,
+        )
+        rng = jax.random.PRNGKey(cfg.run.seed)
+        self.rng, init_rng, sp_rng = jax.random.split(rng, 3)
+        self.train_state = learner_lib.create_train_state(
+            self.net, init_rng, obs_shape, self.tx
+        )
+        self.train_step = learner_lib.make_train_step(
+            self.net, self.tx, self.lr_schedule, argument_data=cfg.train.argument_data
+        )
+        self.selfplay_step = selfplay_lib.make_selfplay_step(
+            self.engine, self.net, cfg.search, cfg.resign,
+            deterministic=False, root_noise=True,
+        )
+
+        self.replay = UniformReplay(
+            capacity=cfg.train.replay_capacity, obs_shape=obs_shape,
+            num_actions=cfg.env.num_actions, seed=cfg.run.seed,
+        )
+        self.resign_controller = ResignController(
+            cfg.resign, cfg.train.games_per_ckpt, self.logger
+        )
+
+        batch = cfg.parallel.selfplay_batch_size
+        self.sp_state = selfplay_lib.init_selfplay_state(
+            self.engine, batch, sp_rng,
+            resign_threshold=self.resign_controller.threshold,
+            disable_resign_ratio=cfg.resign.disable_resign_ratio,
+        )
+        self.accumulator = selfplay_lib.EpisodeAccumulator(batch)
+
+        self.actor_writer = CsvWriter(os.path.join(cfg.run.logs_dir, "actor0.csv"))
+        self.train_writer = CsvWriter(os.path.join(cfg.run.logs_dir, "training.csv"),
+                                      buffer_size=1)
+        self.timer = Timer()
+        self.training_steps = 0
+        self.last_ckpt_games = 0
+        self.last_ckpt_samples = 0
+        self.played_games = 0
+        self.latest_ckpt_path: Optional[str] = None
+
+        # Resume.
+        if cfg.run.load_ckpt and os.path.exists(cfg.run.load_ckpt):
+            self.train_state = ckpt_lib.restore_checkpoint(cfg.run.load_ckpt, self.train_state)
+            self.training_steps = int(self.train_state.training_steps)
+            self.logger.info(
+                f"Resumed from checkpoint {cfg.run.load_ckpt} at step {self.training_steps}"
+            )
+        if cfg.run.load_replay and os.path.exists(cfg.run.load_replay):
+            self.replay.load(cfg.run.load_replay)
+            self.logger.info(f"Loaded replay state from {cfg.run.load_replay}")
+
+    # ------------------------------------------------------------------
+    @property
+    def variables(self):
+        return {"params": self.train_state.params,
+                "batch_stats": self.train_state.batch_stats}
+
+    def _next_rng(self):
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+    # ------------------------------------------------------------------
+    def selfplay_until(self, target_new_games: int,
+                       max_steps: Optional[int] = None) -> int:
+        """Runs self-play until ``target_new_games`` finish; returns count."""
+        cfg = self.cfg
+        new_games = 0
+        steps = 0
+        threshold = jnp.float32(self.resign_controller.threshold)
+        while new_games < target_new_games:
+            with self.timer:
+                self.sp_state, out = self.selfplay_step(
+                    self.variables, self.sp_state, self._next_rng(), threshold
+                )
+                finished = self.accumulator.add_step(out)
+            steps += 1
+            for game in finished:
+                new_games += 1
+                self.played_games += 1
+                self.last_ckpt_games += 1
+                self.last_ckpt_samples += game.stats["game_length"]
+                self.replay.add_game(game.states, game.pi_probs, game.values)
+                self.resign_controller.on_game(game.stats, self.replay.num_games_added)
+
+                row = {
+                    "datetime": get_time_stamp(),
+                    "game_length": game.stats["game_length"],
+                    "game_result": game.stats["game_result"],
+                }
+                if self.engine.has_pass_move:
+                    row["num_passes"] = game.stats["num_passes"]
+                if self.engine.has_resign_move:
+                    row["is_resign_disabled"] = game.stats["is_resign_disabled"]
+                    row["is_marked_for_resign"] = game.stats["is_marked_for_resign"]
+                    row["is_could_won"] = game.stats["is_could_won"]
+                    row["marked_resign_player"] = game.stats["marked_resign_player"]
+                    row["resign_threshold"] = self.resign_controller.threshold
+                row["time_per_game"] = round(self.timer.mean_time(), 4)
+                row["training_steps"] = self.training_steps
+                self.actor_writer.write(row)
+
+                if (
+                    cfg.run.save_sgf_dir
+                    and cfg.run.save_sgf_interval > 0
+                    and self.played_games % cfg.run.save_sgf_interval == 0
+                ):
+                    self._save_sgf(game)
+
+                if self.replay.num_games_added % 10000 == 0:
+                    self.logger.info(
+                        f"Collected {self.replay.num_games_added} self-play games, "
+                        f"{self.replay.num_samples_added} samples."
+                    )
+                if (
+                    cfg.train.save_replay_interval > 0
+                    and self.replay.num_games_added % cfg.train.save_replay_interval == 0
+                ):
+                    self.replay.save(os.path.join(cfg.run.ckpt_dir, "replay_state.npz"))
+
+            # Threshold may have moved mid-collection.
+            threshold = jnp.float32(self.resign_controller.threshold)
+            if max_steps is not None and steps >= max_steps:
+                break
+        return new_games
+
+    def _save_sgf(self, game: selfplay_lib.FinishedGame) -> None:
+        from collections import namedtuple
+
+        PM = namedtuple("PlayerMove", ["color", "move"])
+        content = sgf_lib.make_sgf(
+            board_size=self.cfg.env.board_size,
+            move_history=[PM(c, m) for c, m in game.moves],
+            result_string=game.stats["game_result"],
+            ruleset="Chinese" if self.cfg.env.game == "go" else "",
+            komi=self.cfg.env.komi if self.cfg.env.game == "go" else "",
+            date=get_time_stamp(),
+        )
+        path = os.path.join(
+            self.cfg.run.save_sgf_dir, f"actor0_{get_time_stamp(True)}_{self.played_games}.sgf"
+        )
+        with open(path, "w") as f:
+            f.write(content)
+
+    # ------------------------------------------------------------------
+    def train_generation(self) -> None:
+        """Runs ``ckpt_interval`` SGD steps then checkpoints
+        (pipeline.py:563-615)."""
+        cfg = self.cfg
+        target = self.training_steps + cfg.train.ckpt_interval
+        while self.training_steps < target:
+            batch = self.replay.sample(cfg.train.batch_size)
+            if batch is None:
+                self.logger.warning("replay too small to sample; skipping update")
+                break
+            self.train_state, metrics = self.train_step(
+                self.train_state,
+                jnp.asarray(batch.state),
+                jnp.asarray(batch.pi_prob),
+                jnp.asarray(batch.value),
+                self._next_rng(),
+            )
+            self.training_steps += 1
+            if (
+                self.training_steps % cfg.train.log_interval == 0
+                or self.training_steps % cfg.train.ckpt_interval == 0
+            ):
+                self.train_writer.write({
+                    "datetime": get_time_stamp(),
+                    "training_steps": self.training_steps,
+                    "policy_loss": float(metrics.policy_loss),
+                    "value_loss": float(metrics.value_loss),
+                    "learning_rate": float(metrics.learning_rate),
+                    "total_games": self.replay.num_games_added,
+                    "total_samples": self.replay.num_samples_added,
+                })
+
+        self.latest_ckpt_path = ckpt_lib.save_checkpoint(
+            cfg.run.ckpt_dir, self.train_state, self.training_steps
+        )
+        self.last_ckpt_games = 0
+        self.last_ckpt_samples = 0
+        self.logger.info(
+            f"Checkpoint for step {self.training_steps} at {self.latest_ckpt_path}"
+        )
+
+    # ------------------------------------------------------------------
+    def run(self, on_checkpoint: Optional[Callable[["Trainer"], None]] = None) -> None:
+        """Full training loop to ``max_training_steps``."""
+        cfg = self.cfg
+        first = True
+        while self.training_steps < cfg.train.max_training_steps:
+            target = cfg.train.min_games if first else cfg.train.games_per_ckpt
+            already = self.replay.num_games_added if first else 0
+            self.selfplay_until(max(0, target - already))
+            first = False
+            self.train_generation()
+            if on_checkpoint is not None:
+                on_checkpoint(self)
+        self.actor_writer.close()
+        self.train_writer.close()
+
+
+def train(cfg: AlphaZeroConfig, **kwargs) -> Trainer:
+    trainer = Trainer(cfg)
+    trainer.run(**kwargs)
+    return trainer

@@ -214,6 +214,7 @@ class FinishedGame(NamedTuple):
     pi_probs: np.ndarray   # [L, A] f32
     values: np.ndarray     # [L] f32 z-targets
     stats: dict
+    moves: list            # [(color 'B'/'W', flat move)] excluding resign — for SGF
 
 
 class EpisodeAccumulator:
@@ -228,6 +229,7 @@ class EpisodeAccumulator:
         self._obs: list[list[np.ndarray]] = [[] for _ in range(batch_size)]
         self._pi: list[list[np.ndarray]] = [[] for _ in range(batch_size)]
         self._to_play: list[list[int]] = [[] for _ in range(batch_size)]
+        self._moves: list[list] = [[] for _ in range(batch_size)]
 
     def add_step(self, out: StepOutput) -> list[FinishedGame]:
         obs = np.asarray(out.obs)
@@ -239,14 +241,16 @@ class EpisodeAccumulator:
 
         finished: list[FinishedGame] = []
         for i in range(self.batch_size):
-            # Resign moves are not recorded as transitions (the reference
-            # appends the pre-move obs before stepping; on resign the step
-            # still happened after recording — keep identical behavior:
-            # the reference DOES record the transition for the resign step
-            # (episode_states.append before env.step, pipeline.py:323-343)).
+            # The transition for the final (even resigning) step is recorded
+            # — the reference appends obs/pi before env.step
+            # (pipeline.py:323-343). Resign moves are excluded from the SGF
+            # move history only (envs/go.py:101-122).
             self._obs[i].append(obs[i])
             self._pi[i].append(pi[i])
             self._to_play[i].append(int(to_play[i]))
+            if int(move[i]) != RESIGN:
+                color = "B" if int(to_play[i]) == 1 else "W"
+                self._moves[i].append((color, int(move[i])))
             if done[i]:
                 finished.append(self._finalize(i, out, i_winner=int(winner[i])))
         return finished
@@ -287,7 +291,10 @@ class EpisodeAccumulator:
             "winner": i_winner,
         }
 
+        moves = list(self._moves[i])
         self._obs[i].clear()
         self._pi[i].clear()
         self._to_play[i].clear()
-        return FinishedGame(states=states, pi_probs=pis, values=values, stats=stats)
+        self._moves[i].clear()
+        return FinishedGame(states=states, pi_probs=pis, values=values, stats=stats,
+                            moves=moves)

@@ -1,0 +1,87 @@
+"""End-to-end micro training run: the minimum slice of BASELINE config 1."""
+
+import os
+
+import numpy as np
+
+from alpha_zero_tpu import config as config_lib
+from alpha_zero_tpu.training import pipeline
+
+
+def micro_config(tmp_path):
+    return config_lib.AlphaZeroConfig(
+        env=config_lib.EnvConfig(game="gomoku", board_size=5, num_stack=2, num_to_win=3),
+        network=config_lib.NetworkConfig(num_res_blocks=1, num_filters=8, num_fc_units=8,
+                                         gomoku=True),
+        search=config_lib.SearchConfig(num_simulations=8, warm_up_steps=2),
+        resign=config_lib.ResignConfig(init_resign_threshold=-1.0),
+        train=config_lib.TrainConfig(
+            min_games=6, games_per_ckpt=4, replay_capacity=4096, batch_size=16,
+            max_training_steps=6, ckpt_interval=3, log_interval=3,
+            init_lr=0.01, lr_milestones=(1000,),
+        ),
+        run=config_lib.RunConfig(
+            ckpt_dir=str(tmp_path / "ckpt"), logs_dir=str(tmp_path / "logs"),
+            save_sgf_dir=str(tmp_path / "sgf"), save_sgf_interval=3, seed=3,
+        ),
+        parallel=config_lib.ParallelConfig(selfplay_batch_size=4),
+    )
+
+
+def test_end_to_end_micro_training(tmp_path):
+    cfg = micro_config(tmp_path)
+    trainer = pipeline.train(cfg)
+
+    # Training ran to the step budget.
+    assert trainer.training_steps == 6
+    # Games were collected and replayed.
+    assert trainer.replay.num_games_added >= 10
+    assert trainer.replay.size > 0
+
+    # CSV metrics in the reference schemas.
+    training_csv = os.path.join(cfg.run.logs_dir, "training.csv")
+    actor_csv = os.path.join(cfg.run.logs_dir, "actor0.csv")
+    assert os.path.exists(training_csv) and os.path.exists(actor_csv)
+    header = open(training_csv).readline().strip().split(",")
+    assert header == ["datetime", "training_steps", "policy_loss", "value_loss",
+                      "learning_rate", "total_games", "total_samples"]
+    actor_header = open(actor_csv).readline().strip().split(",")
+    assert actor_header[:3] == ["datetime", "game_length", "game_result"]
+
+    # Checkpoints exist and are restorable.
+    assert trainer.latest_ckpt_path is not None
+    from alpha_zero_tpu.training import checkpoint as ckpt_lib
+
+    latest = ckpt_lib.latest_checkpoint(cfg.run.ckpt_dir)
+    assert latest is not None and ckpt_lib.checkpoint_step(latest) == 6
+    restored = ckpt_lib.restore_checkpoint(latest, trainer.train_state)
+    np.testing.assert_allclose(
+        np.asarray(restored.training_steps), np.asarray(trainer.train_state.training_steps)
+    )
+
+    # SGF dumps were produced and parse back.
+    sgf_files = os.listdir(cfg.run.save_sgf_dir)
+    assert sgf_files
+    from alpha_zero_tpu.utils import sgf as sgf_lib
+
+    game = sgf_lib.parse_sgf(open(os.path.join(cfg.run.save_sgf_dir, sgf_files[0])).read())
+    assert game.board_size == 5
+    assert len(game.moves) > 0
+
+
+def test_resume_from_checkpoint(tmp_path):
+    cfg = micro_config(tmp_path)
+    trainer = pipeline.train(cfg)
+    ckpt = trainer.latest_ckpt_path
+
+    import dataclasses
+
+    cfg2 = dataclasses.replace(
+        cfg,
+        run=dataclasses.replace(cfg.run, load_ckpt=ckpt),
+        train=dataclasses.replace(cfg.train, max_training_steps=9),
+    )
+    trainer2 = pipeline.Trainer(cfg2)
+    assert trainer2.training_steps == 6
+    trainer2.run()
+    assert trainer2.training_steps == 9
