@@ -1,0 +1,194 @@
+"""Evaluator: latest-vs-previous matches with Elo + pro-game metrics.
+
+Parity targets:
+- ``eval_against_prev_ckpt`` (pipeline.py:814-867): one deterministic game,
+  black = latest checkpoint, white = previous, no root noise, Elo update for
+  both players, SGF record.
+- ``eval_on_pro_games`` (pipeline.py:870-941): top-1/3/5 human-move accuracy,
+  policy entropy, value MSE over the pro-game dataset — here a single jitted
+  batched scan instead of a torch DataLoader loop.
+- ``run_evaluator_loop`` (pipeline.py:678-811): the surrounding loop —
+  checkpoint polling becomes a direct function call from the trainer (same
+  host), with black/white promotion and Elo copying preserved.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections import namedtuple
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alpha_zero_tpu.envs.types import BLACK
+from alpha_zero_tpu.eval.dataset import EvalDataset
+from alpha_zero_tpu.eval.elo import EloRating
+from alpha_zero_tpu.search import mcts
+
+PlayerMove = namedtuple("PlayerMove", ["color", "move"])
+
+
+def make_eval_move_fn(engine, net, search_cfg) -> Callable:
+    """Jitted deterministic move: search without noise, argmax visit count
+    (create_mcts_player with root_noise=False, deterministic=True,
+    pipeline.py:741-757)."""
+
+    def eval_fn_factory(variables):
+        def eval_fn(obs):
+            out = net.apply(variables, obs, train=False)
+            return jax.nn.softmax(out.pi_logits, axis=-1), out.value
+
+        return eval_fn
+
+    def move_fn(variables, state):
+        roots = jax.tree.map(lambda x: x[None], state)
+        result = mcts.batched_search(
+            eval_fn_factory(variables), engine, roots, jax.random.PRNGKey(0),
+            num_simulations=search_cfg.num_simulations,
+            c_puct_base=search_cfg.c_puct_base,
+            c_puct_init=search_cfg.c_puct_init,
+            root_noise=False,
+        )
+        move = jnp.argmax(result.child_N, axis=-1).astype(jnp.int32)[0]
+        new_state = engine.step(state, move)
+        return new_state, move
+
+    return jax.jit(move_fn)
+
+
+def play_eval_game(engine, move_fn, black_variables, white_variables) -> Dict:
+    """One deterministic game: black plays ``black_variables``'s net."""
+    state = engine.init()
+    num_passes = 0
+    moves = []
+    while not bool(state.done):
+        variables = black_variables if int(state.to_play) == BLACK else white_variables
+        color = "B" if int(state.to_play) == BLACK else "W"
+        state, move = move_fn(variables, state)
+        move = int(move)
+        moves.append(PlayerMove(color, move))
+        if engine.has_pass_move and move == engine.pass_move:
+            num_passes += 1
+
+    winner = int(state.winner)
+    score = float(state.final_score)
+    if bool(state.resigned):
+        result = "B+R" if winner == 1 else "W+R"
+    elif score > 0:
+        result = "B+%.1f" % score
+    elif score < 0:
+        result = "W+%.1f" % abs(score)
+    else:
+        result = "DRAW"
+
+    stats = {
+        "game_length": int(state.step_count),
+        "game_result": result,
+        "winner": winner,
+        "moves": moves,
+    }
+    if engine.has_pass_move:
+        stats["num_passes"] = num_passes
+    return stats
+
+
+def eval_against_prev_ckpt(engine, move_fn, black_variables, white_variables,
+                           black_elo: EloRating, white_elo: EloRating) -> Dict:
+    """Single match + Elo update (pipeline.py:814-867)."""
+    stats = play_eval_game(engine, move_fn, black_variables, white_variables)
+    winner = stats.pop("winner")
+    moves = stats.pop("moves")
+    if winner != 0:
+        if winner == BLACK:
+            w, l = black_elo, white_elo
+        else:
+            w, l = white_elo, black_elo
+        w.update_rating(l.rating, 1)
+        l.update_rating(w.rating, 0)
+    stats["black_elo_rating"] = black_elo.rating
+    stats["white_elo_rating"] = white_elo.rating
+    stats["_moves"] = moves
+    return stats
+
+
+def make_pro_metrics_fn(net, k_list=(1, 3, 5)) -> Callable:
+    """Jitted batched metrics pass (pipeline.py:870-941)."""
+    max_k = max(k_list)
+
+    def metrics(variables, states, target_pi, target_v):
+        out = net.apply(variables, states, train=False)
+        probs = jax.nn.softmax(out.pi_logits, axis=-1)
+        target_idx = jnp.argmax(target_pi, axis=-1)
+        _, topk = jax.lax.top_k(probs, max_k)
+        match = topk == target_idx[:, None]
+        correct = {k: jnp.sum(jnp.any(match[:, :k], axis=-1)) for k in k_list}
+        entropy = -jnp.sum(probs * jnp.log(jnp.maximum(probs, 1e-12)), axis=-1).sum()
+        mse = jnp.sum(jnp.square(out.value - target_v))
+        return correct, entropy, mse
+
+    return jax.jit(metrics)
+
+
+def eval_on_pro_games(metrics_fn, variables, dataset: EvalDataset,
+                      batch_size: int = 1024, k_list=(1, 3, 5)) -> Dict:
+    """Streams the dataset through the jitted metrics pass. The final partial
+    batch is padded and masked via weighting by true count."""
+    m = len(dataset)
+    if m == 0:
+        return {}
+    total_correct = {k: 0 for k in k_list}
+    total_entropy = 0.0
+    total_mse = 0.0
+    for start in range(0, m, batch_size):
+        end = min(start + batch_size, m)
+        states = jnp.asarray(dataset.states[start:end])
+        pi = jnp.asarray(dataset.target_pi[start:end])
+        v = jnp.asarray(dataset.target_v[start:end])
+        correct, entropy, mse = metrics_fn(variables, states, pi, v)
+        for k in k_list:
+            total_correct[k] += int(correct[k])
+        total_entropy += float(entropy)
+        total_mse += float(mse)
+
+    stats = {
+        "value_mse_error": total_mse / m,
+        "policy_entropy": total_entropy / m,
+    }
+    for k in k_list:
+        stats[f"policy_top_{k}_accuracy"] = total_correct[k] / m
+    return stats
+
+
+class Evaluator:
+    """Holds prev-checkpoint weights + Elo state across generations
+    (run_evaluator_loop, pipeline.py:678-811)."""
+
+    def __init__(self, engine, net, search_cfg, default_rating: float = 0.0,
+                 dataset: Optional[EvalDataset] = None) -> None:
+        self.engine = engine
+        self.move_fn = make_eval_move_fn(engine, net, search_cfg)
+        self.metrics_fn = make_pro_metrics_fn(net)
+        self.black_elo = EloRating(rating=default_rating)
+        self.white_elo = EloRating(rating=default_rating)
+        self.dataset = dataset
+        self.prev_variables = None
+
+    def evaluate(self, variables) -> Dict:
+        """Evaluates ``variables`` (the latest ckpt) vs the previous one."""
+        if self.prev_variables is None:
+            self.prev_variables = variables
+        stats = eval_against_prev_ckpt(
+            self.engine, self.move_fn, variables, self.prev_variables,
+            self.black_elo, self.white_elo,
+        )
+        if self.dataset is not None and len(self.dataset) > 0:
+            stats.update(eval_on_pro_games(self.metrics_fn, variables, self.dataset))
+        # Promote: new model becomes the next baseline; assume equal strength
+        # (pipeline.py:804-809).
+        self.prev_variables = variables
+        import copy
+
+        self.white_elo = copy.deepcopy(self.black_elo)
+        return stats

@@ -1,0 +1,7 @@
+from alpha_zero_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicated,
+    shard_train_state,
+)

@@ -176,6 +176,9 @@ class Trainer:
         self.actor_writer = CsvWriter(os.path.join(cfg.run.logs_dir, "actor0.csv"))
         self.train_writer = CsvWriter(os.path.join(cfg.run.logs_dir, "training.csv"),
                                       buffer_size=1)
+        self.eval_writer = CsvWriter(os.path.join(cfg.run.logs_dir, "evaluation.csv"),
+                                     buffer_size=1)
+        self.evaluator = None  # built lazily by enable_evaluator()
         self.timer = Timer()
         self.training_steps = 0
         self.last_ckpt_games = 0
@@ -329,6 +332,53 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------
+    def enable_evaluator(self) -> None:
+        """Builds the evaluator (deterministic latest-vs-prev matches, Elo,
+        pro-game metrics when ``eval_games_dir`` is set) — the in-process
+        equivalent of the reference's evaluator process
+        (run_evaluator_loop, pipeline.py:678-811)."""
+        from alpha_zero_tpu.eval.dataset import build_eval_dataset
+        from alpha_zero_tpu.eval.evaluator import Evaluator
+
+        cfg = self.cfg
+        dataset = None
+        if cfg.run.eval_games_dir and os.path.exists(cfg.run.eval_games_dir):
+            dataset = build_eval_dataset(
+                cfg.run.eval_games_dir, cfg.env.board_size, cfg.env.num_stack,
+                logger=self.logger,
+            )
+        self.evaluator = Evaluator(
+            self.engine, self.net, cfg.search,
+            default_rating=cfg.run.default_rating, dataset=dataset,
+        )
+
+    def run_evaluation(self) -> Optional[dict]:
+        """Evaluates the current weights; writes evaluation.csv + eval SGF."""
+        if self.evaluator is None:
+            return None
+        stats = self.evaluator.evaluate(self.variables)
+        moves = stats.pop("_moves", [])
+        row = {"datetime": get_time_stamp(), "training_steps": self.training_steps,
+               **stats}
+        self.eval_writer.write(row)
+        if self.cfg.run.save_sgf_dir and moves:
+            content = sgf_lib.make_sgf(
+                board_size=self.cfg.env.board_size,
+                move_history=moves,
+                result_string=stats["game_result"],
+                ruleset="Chinese" if self.cfg.env.game == "go" else "",
+                komi=self.cfg.env.komi if self.cfg.env.game == "go" else "",
+                date=get_time_stamp(),
+            )
+            path = os.path.join(
+                self.cfg.run.save_sgf_dir,
+                f"eval_training_steps_{self.training_steps}.sgf",
+            )
+            with open(path, "w") as f:
+                f.write(content)
+        return stats
+
+    # ------------------------------------------------------------------
     def run(self, on_checkpoint: Optional[Callable[["Trainer"], None]] = None) -> None:
         """Full training loop to ``max_training_steps``."""
         cfg = self.cfg
@@ -339,10 +389,12 @@ class Trainer:
             self.selfplay_until(max(0, target - already))
             first = False
             self.train_generation()
+            self.run_evaluation()
             if on_checkpoint is not None:
                 on_checkpoint(self)
         self.actor_writer.close()
         self.train_writer.close()
+        self.eval_writer.close()
 
 
 def train(cfg: AlphaZeroConfig, **kwargs) -> Trainer:
