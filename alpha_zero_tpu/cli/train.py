@@ -1,0 +1,38 @@
+"""``python -m alpha_zero_tpu.cli.train`` — the single config-driven trainer.
+
+Replaces the reference's three absl-flag drivers (training_go.py,
+training_go_jumbo.py, training_gomoku.py): pick a named config
+(go9 / go19_jumbo / gomoku13 / gomoku9) and override any field with
+``--set a.b.c=value``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+
+from alpha_zero_tpu.cli.common import add_config_args, resolve_config
+from alpha_zero_tpu.training import pipeline
+from alpha_zero_tpu.utils.logging import create_logger
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_config_args(parser)
+    parser.add_argument("--eval", action="store_true",
+                        help="run the in-process evaluator after each checkpoint")
+    args = parser.parse_args(argv)
+
+    cfg = resolve_config(args.config, args.set)
+    logger = create_logger(cfg.run.log_level)
+    logger.info("config: %s", json.dumps(dataclasses.asdict(cfg), default=str, indent=1))
+
+    trainer = pipeline.Trainer(cfg)
+    if args.eval:
+        trainer.enable_evaluator()
+    trainer.run()
+
+
+if __name__ == "__main__":
+    main()

@@ -4,9 +4,13 @@ Re-implements the rules of the reference engine (`alpha_zero/envs/go_engine.py`
 — Minigo ``Position``/``LibertyTracker``) as fixed-shape XLA programs:
 
 - group/liberty analysis: the reference's incremental set-based
-  ``LibertyTracker`` (go_engine.py:166-297) becomes a connected-component
+  ``LibertyTracker`` (go_engine.py:166-297) becomes connected-component
   labeling via min-label propagation with pointer-jumping (hook & compress),
-  plus a scatter-add liberty count per group root.
+  plus a scatter-add liberty count per group root. The analysis is computed
+  once per position and CACHED IN THE STATE (``labels``/``group_libs``/
+  ``legal``), so a step consumes the parent's analysis for capture detection
+  and produces the child's — one labeling pass per move, like the reference's
+  incremental tracker but batched.
 - legality (`Position.all_legal_moves` go_engine.py:417-441 /
   ``is_move_suicidal`` :386-402): vectorized over every point at once — a move
   on an empty point is non-suicidal iff it has an empty neighbor, an adjacent
@@ -15,17 +19,20 @@ Re-implements the rules of the reference engine (`alpha_zero/envs/go_engine.py`
   "koish" point, go_engine.py:479-494; super-ko intentionally NOT implemented,
   reference README.md:219 — reproduced for parity, not "fixed").
 - scoring: Tromp-Taylor area scoring without dead-stone removal
-  (go_engine.py:123-152), via empty-region labeling + border-color reduction.
+  (go_engine.py:123-152) via empty-region labeling + border-color reduction.
+  Scoring only matters at termination, so ``step_batch`` computes it under a
+  batch-level ``lax.cond`` — zero cost on the vast majority of steps.
 
-Everything is shape-static and scalar-free so a batch of thousands of games
-steps in lockstep under ``jax.vmap``/``jit`` — this replaces the reference's
-per-simulation ``copy.deepcopy(env)`` + interpreted Python stepping
+Everything is shape-static and scalar-free so thousands of games step in
+lockstep under ``jax.vmap``/``jit`` — replacing the reference's
+per-simulation ``copy.deepcopy(env)`` + interpreted stepping
 (core/mcts_v2.py:579), the dominant cost of its self-play.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 from typing import Tuple
 
 import jax
@@ -63,6 +70,12 @@ class GoEngine:
         self.pass_move = board_size * board_size
         self.has_pass_move = True
         self.has_resign_move = True
+        # Unrolled sweep count for hook-and-compress labeling: enough for all
+        # practical positions (validated in tests); pathological shapes
+        # (long snakes/spirals) fall through to a convergence-checked
+        # while_loop that costs a single condition evaluation when the
+        # unrolled rounds already converged.
+        self.label_rounds = math.ceil(math.log2(board_size * board_size)) + 3
 
     # -- hashability for jit closures ---------------------------------------
     def _key(self):
@@ -78,7 +91,8 @@ class GoEngine:
     def init(self) -> GameState:
         """Fresh single-game state (vmap over a dummy arg to batch)."""
         n = self.board_size
-        return GameState(
+        sent = n * n
+        state = GameState(
             board=jnp.zeros((n, n), jnp.int8),
             history=jnp.zeros((self.num_stack, n, n), jnp.int8),
             to_play=jnp.int8(BLACK),
@@ -93,7 +107,11 @@ class GoEngine:
             captures=jnp.zeros((2,), jnp.int32),
             resigned=jnp.bool_(False),
             final_score=jnp.float32(0.0),
+            labels=jnp.full((n, n), sent, jnp.int32),
+            group_libs=jnp.zeros((sent + 1,), jnp.int32),
+            legal=jnp.ones((self.num_actions,), jnp.bool_),
         )
+        return state
 
     def init_batch(self, batch_size: int) -> GameState:
         return jax.tree.map(
@@ -103,54 +121,67 @@ class GoEngine:
     # -----------------------------------------------------------------------
     # Group analysis
     # -----------------------------------------------------------------------
-    def label_groups(self, board: jnp.ndarray) -> jnp.ndarray:
-        """Connected components of same-colored stones.
+    def _label_sweep(self, labels: jnp.ndarray, same_mask, active) -> jnp.ndarray:
+        """One hook (min over connected neighbors) + two pointer jumps."""
+        n = self.board_size
+        sent = n * n
+        m = labels
+        for idx, (dr, dc) in enumerate(_DIRS):
+            nb_label = _shift(labels, dr, dc, sent)
+            m = jnp.minimum(m, jnp.where(same_mask[idx], nb_label, sent))
+        m = jnp.where(active, m, sent)
+        for _ in range(2):
+            flat = m.reshape(-1)
+            jumped = jnp.where(flat < sent, flat[jnp.clip(flat, 0, sent - 1)], sent)
+            m = jumped.reshape(n, n)
+        return m
 
-        Returns int32[N, N]: for stones, the min flat index of their group
-        (a canonical group id usable as a scatter target); N*N for empties.
-        Min-label propagation with pointer jumping converges in
-        O(log(longest group path)) sweeps; the loop is bounded by N*N.
+    def _label_components(self, active: jnp.ndarray, same_mask) -> jnp.ndarray:
+        """Connected components over ``active`` cells with per-direction
+        connectivity ``same_mask[4, N, N]``; returns min-flat-index labels
+        (sent = N*N for inactive cells).
+
+        ``label_rounds`` sweeps are unrolled into straight-line fused code
+        (covers all practical positions); a convergence-checked while_loop
+        then handles pathological long-geodesic groups — when already
+        converged it costs exactly one extra sweep + condition.
         """
         n = self.board_size
         sent = n * n
         idx = jnp.arange(sent, dtype=jnp.int32).reshape(n, n)
-        labels0 = jnp.where(board != EMPTY, idx, sent)
-
-        def sweep(labels):
-            m = labels
-            for dr, dc in _DIRS:
-                nb_label = _shift(labels, dr, dc, sent)
-                nb_board = _shift(board, dr, dc, _WALL)
-                m = jnp.minimum(m, jnp.where(nb_board == board, nb_label, sent))
-            m = jnp.where(board != EMPTY, m, sent)
-            # Pointer jumping: a label is a flat cell index, and that cell's
-            # label is at least as canonical — follow it twice (compress).
-            for _ in range(2):
-                flat = m.reshape(-1)
-                jumped = jnp.where(flat < sent, flat[jnp.clip(flat, 0, sent - 1)], sent)
-                m = jumped.reshape(n, n)
-            return m
+        labels = jnp.where(active, idx, sent)
+        for _ in range(self.label_rounds):
+            labels = self._label_sweep(labels, same_mask, active)
 
         def cond(carry):
-            _, changed, i = carry
+            labels, changed, i = carry
             return changed & (i < sent)
 
         def body(carry):
             labels, _, i = carry
-            new = sweep(labels)
+            new = self._label_sweep(labels, same_mask, active)
             return new, jnp.any(new != labels), i + 1
 
-        labels, _, _ = jax.lax.while_loop(cond, body, (labels0, jnp.bool_(True), jnp.int32(0)))
+        first = self._label_sweep(labels, same_mask, active)
+        labels, _, _ = jax.lax.while_loop(
+            cond, body, (first, jnp.any(first != labels), jnp.int32(0))
+        )
         return labels
 
-    def group_liberties(self, board: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-        """Liberty count per group, indexed by group root id.
+    def label_groups(self, board: jnp.ndarray) -> jnp.ndarray:
+        """Group labels for stones (both colors at once; same-color
+        connectivity). int32[N, N]; N*N for empty cells."""
+        active = board != EMPTY
+        same = []
+        for dr, dc in _DIRS:
+            nb_board = _shift(board, dr, dc, _WALL)
+            same.append((nb_board == board) & active)
+        return self._label_components(active, same)
 
-        Returns int32[N*N + 1]; entry ``g`` is the number of *distinct* empty
-        points adjacent to group ``g`` (the reference's
-        ``len(group.liberties)``, go_engine.py:178). The final slot is a
-        scatter dump for invalid contributions.
-        """
+    def group_liberties(self, board: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+        """Liberty count per group root: the number of *distinct* empty points
+        adjacent to each group (go_engine.py:178). int32[N*N + 1]; the last
+        slot is a scatter dump for invalid contributions."""
         n = self.board_size
         sent = n * n
         empty = board == EMPTY
@@ -159,8 +190,6 @@ class GoEngine:
         seen = []
         for dr, dc in _DIRS:
             nb_label = _shift(labels, dr, dc, sent)
-            # Each empty point contributes one liberty to each *distinct*
-            # neighboring group (dedupe across the 4 directions).
             dup = functools.reduce(
                 jnp.logical_or, [nb_label == p for p in seen], jnp.zeros_like(empty)
             )
@@ -170,45 +199,39 @@ class GoEngine:
             seen.append(nb_label)
         return counts
 
-    # -----------------------------------------------------------------------
-    # Legality
-    # -----------------------------------------------------------------------
-    def legal_actions(self, state: GameState) -> jnp.ndarray:
-        """bool[N*N + 1] legal-move mask (pass last), all points vectorized.
-
-        Parity target: ``Position.all_legal_moves`` (go_engine.py:417-441) —
-        empty, not the ko point, not suicide; pass always legal. All-false
-        once the game is over (the reference zeroes ``legal_actions`` at game
-        end, envs/go.py:111,142).
-        """
-        board = state.board
+    def _compute_legal(self, board, labels, counts, ko, to_play, done) -> jnp.ndarray:
+        """Vectorized all-points legality (go_engine.py:417-441)."""
         n = self.board_size
         sent = n * n
-        labels = self.label_groups(board)
-        counts = self.group_liberties(board, labels)
-
         empty = board == EMPTY
         has_empty_nb = jnp.zeros_like(empty)
         friendly_alive = jnp.zeros_like(empty)
         captures_sth = jnp.zeros_like(empty)
-        to_play = state.to_play
         for dr, dc in _DIRS:
             nb_board = _shift(board, dr, dc, _WALL)
             nb_label = _shift(labels, dr, dc, sent)
             nb_libs = jnp.where(nb_label != sent, counts[jnp.clip(nb_label, 0, sent)], 0)
             has_empty_nb |= nb_board == EMPTY
-            # A friendly neighbor group with a liberty besides this point
-            # (go_engine.py:386-402: union of friendly liberties minus the
-            # point itself is non-empty iff some group has >= 2 liberties).
             friendly_alive |= (nb_board == to_play) & (nb_libs >= 2)
-            # An opponent neighbor group in atari would be captured.
             captures_sth |= (nb_board == -to_play) & (nb_libs == 1)
-
         not_suicide = has_empty_nb | friendly_alive | captures_sth
         idx = jnp.arange(sent, dtype=jnp.int32).reshape(n, n)
-        playable = empty & not_suicide & (idx != state.ko)
+        playable = empty & not_suicide & (idx != ko)
         legal = jnp.concatenate([playable.reshape(-1), jnp.ones((1,), jnp.bool_)])
-        return jnp.where(state.done, jnp.zeros_like(legal), legal)
+        return jnp.where(done, jnp.zeros_like(legal), legal)
+
+    def analyze(self, state: GameState) -> GameState:
+        """(Re)computes the cached analysis fields from the raw board — used
+        when a state is constructed by hand (tests, SGF replay)."""
+        labels = self.label_groups(state.board)
+        counts = self.group_liberties(state.board, labels)
+        legal = self._compute_legal(state.board, labels, counts, state.ko,
+                                    state.to_play, state.done)
+        return state.replace(labels=labels, group_libs=counts, legal=legal)
+
+    def legal_actions(self, state: GameState) -> jnp.ndarray:
+        """bool[N*N + 1] legal-move mask — precomputed by init/step."""
+        return state.legal
 
     # -----------------------------------------------------------------------
     # Scoring
@@ -223,38 +246,17 @@ class GoEngine:
         n = self.board_size
         sent = n * n
         empty = board == EMPTY
-        idx = jnp.arange(sent, dtype=jnp.int32).reshape(n, n)
-        labels0 = jnp.where(empty, idx, sent)
-
-        def sweep(labels):
-            m = labels
-            for dr, dc in _DIRS:
-                nb_label = _shift(labels, dr, dc, sent)
-                nb_empty = _shift(empty, dr, dc, False)
-                m = jnp.minimum(m, jnp.where(nb_empty & empty, nb_label, sent))
-            m = jnp.where(empty, m, sent)
-            for _ in range(2):
-                flat = m.reshape(-1)
-                jumped = jnp.where(flat < sent, flat[jnp.clip(flat, 0, sent - 1)], sent)
-                m = jumped.reshape(n, n)
-            return m
-
-        def cond(carry):
-            _, changed, i = carry
-            return changed & (i < sent)
-
-        def body(carry):
-            labels, _, i = carry
-            new = sweep(labels)
-            return new, jnp.any(new != labels), i + 1
-
-        labels, _, _ = jax.lax.while_loop(cond, body, (labels0, jnp.bool_(True), jnp.int32(0)))
+        same = []
+        for dr, dc in _DIRS:
+            nb_empty = _shift(empty, dr, dc, False)
+            same.append(nb_empty & empty)
+        labels = self._label_components(empty, same)
 
         borders_black = jnp.zeros(sent + 1, jnp.int32)
         borders_white = jnp.zeros(sent + 1, jnp.int32)
+        target = jnp.where(empty, labels, sent).reshape(-1)
         for dr, dc in _DIRS:
             nb_board = _shift(board, dr, dc, _WALL)
-            target = jnp.where(empty, labels, sent).reshape(-1)
             borders_black = borders_black.at[target].max((nb_board == BLACK).reshape(-1).astype(jnp.int32))
             borders_white = borders_white.at[target].max((nb_board == WHITE).reshape(-1).astype(jnp.int32))
 
@@ -274,12 +276,17 @@ class GoEngine:
     # -----------------------------------------------------------------------
     # Step
     # -----------------------------------------------------------------------
-    def step(self, state: GameState, action: jnp.ndarray) -> GameState:
-        """Plays ``action`` (flat [0, N*N) board move, N*N pass, -1 resign).
+    def step_core(self, state: GameState, action: jnp.ndarray) -> GameState:
+        """Plays ``action`` (flat [0, N*N) board move, N*N pass, -1 resign)
+        WITHOUT terminal scoring — ``step_batch`` fills scores at the batch
+        level; use :meth:`step` for single-game use.
 
-        No-op when the game is already over. Legality of board moves is the
-        caller's contract (search/selfplay select only from the legal mask;
-        the host wrapper validates and raises like the reference).
+        Capture detection consumes the parent's cached analysis: an opponent
+        neighbor group with exactly one liberty dies — that liberty must be
+        the played point itself (it is empty and adjacent). No-op when the
+        game is already over. Legality of board moves is the caller's
+        contract (search/selfplay select from the cached legal mask; the host
+        wrapper validates and raises like the reference).
         """
         n = self.board_size
         sent = n * n
@@ -292,31 +299,41 @@ class GoEngine:
         a = jnp.clip(action, 0, sent - 1)
         r, c = a // n, a % n
 
-        # --- ko pre-check: the played point is "koish" iff every in-bounds
-        # neighbor holds an opponent stone (is_koish, go_engine.py:91-99).
+        # Gather the four neighbors' board values and group labels.
+        nb_vals = []
+        nb_labels = []
         koish = jnp.bool_(True)
         for dr, dc in _DIRS:
             rr, cc = r + dr, c + dc
             inb = (rr >= 0) & (rr < n) & (cc >= 0) & (cc < n)
-            nb_val = state.board[jnp.clip(rr, 0, n - 1), jnp.clip(cc, 0, n - 1)]
-            koish &= jnp.where(inb, nb_val == -color, True)
+            rc, cc2 = jnp.clip(rr, 0, n - 1), jnp.clip(cc, 0, n - 1)
+            val = jnp.where(inb, state.board[rc, cc2], _WALL)
+            lab = jnp.where(inb, state.labels[rc, cc2], sent)
+            nb_vals.append(val)
+            nb_labels.append(lab)
+            # koish: every in-bounds neighbor is an opponent stone
+            # (is_koish, go_engine.py:91-99).
+            koish &= jnp.where(inb, val == -color, True)
 
-        # --- place stone and resolve captures.
+        # Captured groups: opponent neighbors in atari (their single liberty
+        # is the played point).
+        captured = jnp.zeros((n, n), jnp.bool_)
+        for val, lab in zip(nb_vals, nb_labels):
+            dies = is_board_move & (val == -color) & (
+                state.group_libs[jnp.clip(lab, 0, sent)] == 1
+            )
+            captured |= dies & (state.labels == lab)
+        num_captured = jnp.sum(captured, dtype=jnp.int32)
+
         board1 = state.board.at[r, c].set(
             jnp.where(is_board_move, color, state.board[r, c]).astype(jnp.int8)
         )
-        labels1 = self.label_groups(board1)
-        counts1 = self.group_liberties(board1, labels1)
-        lib_map = jnp.where(labels1 != sent, counts1[jnp.clip(labels1, 0, sent)], 0)
-        captured = is_board_move & (board1 == -color) & (lib_map == 0)
-        num_captured = jnp.sum(captured, dtype=jnp.int32)
-        board2 = jnp.where(captured, jnp.int8(EMPTY), board1)
+        new_board = jnp.where(captured, jnp.int8(EMPTY), board1)
+        new_board = jnp.where(is_board_move, new_board, state.board)
 
         # Basic ko (go_engine.py:491-494): single capture from a koish point.
         first_cap = jnp.argmax(captured.reshape(-1)).astype(jnp.int32)
         new_ko = jnp.where(is_board_move & (num_captured == 1) & koish, first_cap, -1)
-
-        new_board = jnp.where(is_board_move, board2, state.board)
 
         # --- bookkeeping.
         pass_streak = jnp.where(is_pass, state.pass_streak + 1, 0)
@@ -325,27 +342,22 @@ class GoEngine:
             jnp.array([1, 0], jnp.int32),
             jnp.array([0, 1], jnp.int32),
         ) * num_captured
-        captures = state.captures + caps_add
+        captures_cnt = state.captures + caps_add
         step_count = state.step_count + 1
         history = jnp.concatenate([new_board[None], state.history[:-1]], axis=0)
 
         # --- termination (envs/go.py:176-192): resign, two consecutive
-        # passes, or max_steps.
+        # passes, or max_steps. Winner/reward for score-decided games are
+        # filled by step_batch's conditional scoring pass.
         done = is_resign | (pass_streak >= 2) | (step_count >= self.max_steps)
+        winner = jnp.where(is_resign, (-color).astype(jnp.int8), jnp.int8(0))
+        reward = jnp.where(is_resign, -1.0, 0.0).astype(jnp.float32)
 
-        # Score only matters at termination; computed unconditionally because
-        # vmap lowers lax.cond to select anyway (lockstep batches).
-        score = self.score(new_board)
-        score_winner = jnp.where(score > 0, 1, jnp.where(score < 0, -1, 0)).astype(jnp.int8)
-        winner = jnp.where(
-            is_resign, (-color).astype(jnp.int8), jnp.where(done, score_winner, jnp.int8(0))
-        )
-        # Reward for the mover (envs/go.py:137-156): +1 win / -1 loss, 0 draw.
-        reward = jnp.where(
-            done & (winner != 0),
-            jnp.where(winner == color, 1.0, -1.0),
-            0.0,
-        ).astype(jnp.float32)
+        # --- new position analysis (the single labeling pass of this step).
+        labels = self.label_groups(new_board)
+        counts = self.group_liberties(new_board, labels)
+        legal = self._compute_legal(new_board, labels, counts, new_ko,
+                                    (-color).astype(jnp.int8), done)
 
         new_state = GameState(
             board=new_board,
@@ -359,14 +371,55 @@ class GoEngine:
             ko=new_ko.astype(jnp.int32),
             pass_streak=pass_streak,
             num_passes=state.num_passes + is_pass.astype(jnp.int32),
-            captures=captures,
+            captures=captures_cnt,
             resigned=is_resign,
-            final_score=jnp.where(done & ~is_resign, score, 0.0).astype(jnp.float32),
+            final_score=jnp.float32(0.0),
+            labels=labels,
+            group_libs=counts,
+            legal=legal,
         )
         # A finished game ignores further steps.
         return jax.tree.map(
             lambda old, new: jnp.where(state.done, old, new), state, new_state
         )
+
+    def _finalize_scores(self, was_done: jnp.ndarray, stepped: GameState) -> GameState:
+        """Fills winner/reward/final_score for games that just terminated by
+        double-pass or max_steps (score-decided; resign is already settled)."""
+        needs = stepped.done & ~stepped.resigned & ~was_done
+
+        def fill(s: GameState) -> GameState:
+            scores = jax.vmap(self.score)(s.board)
+            score_winner = jnp.where(
+                scores > 0, 1, jnp.where(scores < 0, -1, 0)
+            ).astype(jnp.int8)
+            mover = (-s.to_play).astype(jnp.int8)  # player who made the move
+            reward = jnp.where(
+                score_winner != 0,
+                jnp.where(score_winner == mover, 1.0, -1.0),
+                0.0,
+            ).astype(jnp.float32)
+            return s.replace(
+                winner=jnp.where(needs, score_winner, s.winner),
+                last_reward=jnp.where(needs, reward, s.last_reward),
+                final_score=jnp.where(needs, scores, s.final_score),
+            )
+
+        return jax.lax.cond(jnp.any(needs), fill, lambda s: s, stepped)
+
+    def step_batch(self, states: GameState, actions: jnp.ndarray) -> GameState:
+        """Batched step with terminal scoring under a batch-level cond —
+        the hot-path entry point (scoring costs nothing on the overwhelming
+        majority of steps)."""
+        was_done = states.done
+        stepped = jax.vmap(self.step_core)(states, actions)
+        return self._finalize_scores(was_done, stepped)
+
+    def step(self, state: GameState, action: jnp.ndarray) -> GameState:
+        """Single-game step including terminal scoring (host wrapper, tests)."""
+        batched = jax.tree.map(lambda x: x[None], state)
+        out = self.step_batch(batched, jnp.asarray(action, jnp.int32)[None])
+        return jax.tree.map(lambda x: x[0], out)
 
     # -----------------------------------------------------------------------
     # Observation

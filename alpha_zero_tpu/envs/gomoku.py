@@ -68,6 +68,10 @@ class GomokuEngine:
             captures=jnp.zeros((2,), jnp.int32),
             resigned=jnp.bool_(False),
             final_score=jnp.float32(0.0),
+            # Gomoku needs no group analysis; keep minimal dummies.
+            labels=jnp.zeros((1, 1), jnp.int32),
+            group_libs=jnp.zeros((1,), jnp.int32),
+            legal=jnp.ones((self.num_actions,), jnp.bool_),
         )
 
     def init_batch(self, batch_size: int) -> GameState:
@@ -77,9 +81,14 @@ class GomokuEngine:
 
     # -----------------------------------------------------------------------
     def legal_actions(self, state: GameState) -> jnp.ndarray:
-        """bool[N*N]: empty points; all-false once the game is over."""
+        """bool[N*N]: empty points; all-false once done (cached in state)."""
+        return state.legal
+
+    def analyze(self, state: GameState) -> GameState:
+        """Recomputes the cached legal mask (for hand-built states)."""
         legal = (state.board == EMPTY).reshape(-1)
-        return jnp.where(state.done, jnp.zeros_like(legal), legal)
+        legal = jnp.where(state.done, jnp.zeros_like(legal), legal)
+        return state.replace(legal=legal)
 
     def _has_win(self, board: jnp.ndarray, color: jnp.ndarray) -> jnp.ndarray:
         """Any run of >= num_to_win stones of ``color`` in any direction."""
@@ -111,6 +120,7 @@ class GomokuEngine:
         # Reward for the mover (gomoku.py:72-77): win 1.0, else 0 (draws give 0).
         reward = jnp.where(won, 1.0, 0.0).astype(jnp.float32)
         history = jnp.concatenate([board[None], state.history[:-1]], axis=0)
+        legal = (board == EMPTY).reshape(-1) & ~done
 
         new_state = state.replace(
             board=board,
@@ -121,10 +131,15 @@ class GomokuEngine:
             winner=winner,
             last_move=action,
             last_reward=reward,
+            legal=legal,
         )
         return jax.tree.map(
             lambda old, new: jnp.where(state.done, old, new), state, new_state
         )
+
+    def step_batch(self, states: GameState, actions: jnp.ndarray) -> GameState:
+        """Batched step (uniform hot-path interface with GoEngine)."""
+        return jax.vmap(self.step)(states, actions)
 
     # -----------------------------------------------------------------------
     def observation(self, state: GameState) -> jnp.ndarray:

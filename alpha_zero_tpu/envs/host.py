@@ -51,7 +51,6 @@ class _HostEnv:
         self.gtp_rows = [str(i) for i in range(self.board_size, -1, -1)]
 
         self._step_fn = jitted(engine, "step")
-        self._legal_fn = jitted(engine, "legal_actions")
         self._obs_fn = jitted(engine, "observation")
         self.reset()
 
@@ -74,7 +73,7 @@ class _HostEnv:
 
     def _refresh(self) -> None:
         self.board = np.asarray(self.state.board)
-        self.legal_actions = np.asarray(self._legal_fn(self.state)).astype(np.int8)
+        self.legal_actions = np.asarray(self.state.legal).astype(np.int8)
         self.to_play = self._color_to_id(int(self.state.to_play))
 
     def observation(self) -> np.ndarray:

@@ -52,6 +52,11 @@ class GameState:
     resigned: jnp.ndarray     # bool scalar; game ended by resignation
     final_score: jnp.ndarray  # float32 scalar; black-perspective score at end
     #                           (komi applied), 0 until the game completes
+    # --- cached position analysis (computed by init/step; Go keeps real
+    #     group data, Gomoku keeps minimal dummies) ---
+    labels: jnp.ndarray       # int32[N, N] group labels (N*N = empty); Go
+    group_libs: jnp.ndarray   # int32[N*N+1] liberty count per group root; Go
+    legal: jnp.ndarray        # bool[num_actions] legal-move mask
 
 
 @functools.lru_cache(maxsize=None)

@@ -8,23 +8,22 @@ search state is a structure-of-arrays pytree with a leading batch dimension:
 - per-node child statistics ``child_N/child_W/child_P [T, A]`` stored at the
   parent, exactly the reference's parent-layout (mcts_v2.py:111-135) with the
   root's own N/W as scalars standing in for its ``DummyNode`` (:56-62);
-- game states cached per node, so selection walks the tree without re-stepping
-  the environment — one batched engine step per simulation, only to create the
-  new leaf;
-- one neural-net evaluation per simulation, batched over *all games* in the
-  batch. This replaces the reference's virtual-loss tree parallelism
-  (mcts_v2.py:453-482, :568-625): the whole batch advances synchronously, one
-  leaf per game per simulation, so virtual loss is unnecessary — NN batching
-  comes from the game batch (thousands of games) instead of 8 intra-tree
-  leaves. Search semantics otherwise match the *serial* ``uct_search``
-  (mcts_v2.py:301-450): PUCT with sign-flipped child Q, terminal-state backup
-  with the true reward, Dirichlet root noise, temperature with exponent
-  clamped to [1, 5].
+- game states (with their cached legality/group analysis) stored per node, so
+  selection walks the tree without re-stepping the environment — one batched
+  engine step per simulation, only to create the new leaf;
+- one neural-net evaluation per simulation, batched over *all games*. This
+  replaces the reference's virtual-loss tree parallelism (mcts_v2.py:453-482,
+  :568-625): the whole batch advances synchronously, one leaf per game per
+  simulation, so virtual loss is unnecessary — NN batching comes from the
+  game batch (thousands of games) instead of 8 intra-tree leaves. Search
+  semantics otherwise match the *serial* ``uct_search`` (mcts_v2.py:301-450):
+  PUCT with sign-flipped child Q, terminal-state backup with the true reward,
+  Dirichlet root noise, temperature with exponent clamped to [1, 5].
 
-Per-game tree operations (select / materialize / backup) are written for a
-single game and ``vmap``-ed; the NN evaluation sits between them at the top
-level of a ``lax.fori_loop`` over simulations, so XLA sees one big fused
-program per move.
+Each simulation is three phases — select/step/materialize are per-game
+functions under ``vmap``; the engine step and the NN evaluation sit between
+them at the top level of a ``lax.fori_loop``, so terminal scoring and the
+forward pass run once per batch, not per game.
 
 Subtree reuse across moves (mcts_v2.py:643-653) is intentionally not
 implemented: each move starts a fresh tree (documented deviation; the
@@ -48,7 +47,8 @@ from alpha_zero_tpu.envs.types import GameState
 class Tree:
     """Fixed-capacity search tree for ONE game (batch via leading vmap dim).
 
-    T = num_simulations + 1 node slots; node 0 is the root.
+    T = num_simulations + 1 node slots; node 0 is the root. Legal masks live
+    in ``states.legal``.
     """
 
     child_N: jnp.ndarray         # f32[T, A] edge visit counts
@@ -60,7 +60,6 @@ class Tree:
     node_expanded: jnp.ndarray   # bool[T]; has priors (terminal nodes never do)
     node_done: jnp.ndarray       # bool[T]; game over at this node
     node_reward: jnp.ndarray     # f32[T]; reward emitted by the creating step
-    node_legal: jnp.ndarray      # bool[T, A]; legal mask at the node's state
     states: GameState            # stacked [T, ...] game states
     root_N: jnp.ndarray          # f32 scalar (the DummyNode's child_N entry)
     root_W: jnp.ndarray          # f32 scalar
@@ -81,11 +80,10 @@ class SearchResult(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
-def _make_tree(engine, root_state: GameState, prior: jnp.ndarray, value: jnp.ndarray,
-               capacity: int) -> Tree:
+def _make_tree(root_state: GameState, prior: jnp.ndarray, value: jnp.ndarray,
+               capacity: int, num_actions: int) -> Tree:
     """Root node expanded with ``prior`` and backed up with ``value``
     (mcts_v2.py:363-368: expand + backup give the fresh root N=1, W=v)."""
-    num_actions = engine.num_actions
     zeros_ta = jnp.zeros((capacity, num_actions), jnp.float32)
     states = jax.tree.map(
         lambda x: jnp.broadcast_to(x, (capacity,) + x.shape), root_state
@@ -100,9 +98,6 @@ def _make_tree(engine, root_state: GameState, prior: jnp.ndarray, value: jnp.nda
         node_expanded=jnp.zeros((capacity,), jnp.bool_).at[0].set(True),
         node_done=jnp.zeros((capacity,), jnp.bool_),
         node_reward=jnp.zeros((capacity,), jnp.float32),
-        node_legal=jnp.zeros((capacity, num_actions), jnp.bool_).at[0].set(
-            engine.legal_actions(root_state)
-        ),
         states=states,
         root_N=jnp.float32(1.0),
         root_W=value.astype(jnp.float32),
@@ -115,7 +110,7 @@ def _add_dirichlet_noise(tree: Tree, rng: jax.Array, eps: float, alpha: float) -
     full action space, masked by legality, NOT renormalized — exact parity."""
     num_actions = tree.child_P.shape[-1]
     noise = jax.random.dirichlet(rng, jnp.full((num_actions,), alpha, jnp.float32))
-    noise = noise * tree.node_legal[0]
+    noise = noise * tree.states.legal[0]
     new_p = tree.child_P[0] * (1.0 - eps) + noise * eps
     return tree.replace(child_P=tree.child_P.at[0].set(new_p))
 
@@ -135,15 +130,15 @@ def _puct_scores(tree: Tree, node: jnp.ndarray, node_visits: jnp.ndarray,
     u = pb_c * c_p * (jnp.sqrt(node_visits) / (1.0 + c_n))
     q = c_w / jnp.maximum(c_n, 1.0)
     scores = -q + u
-    return jnp.where(tree.node_legal[node], scores, -9999.0)
+    return jnp.where(tree.states.legal[node], scores, -9999.0)
 
 
 def _select_leaf(tree: Tree, c_puct_base: float, c_puct_init: float,
-                 max_depth: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                 max_depth: int):
     """Descends by PUCT until an unmaterialized edge or a terminal node.
 
-    Returns (parent_node, action, existing_child_or_-1, hit_terminal).
-    """
+    Returns (parent_node, action, existing_child_or_-1, hit_terminal,
+    parent_state)."""
 
     def cond(carry):
         _, _, _, _, stop, depth = carry
@@ -166,7 +161,8 @@ def _select_leaf(tree: Tree, c_puct_base: float, c_puct_init: float,
             jnp.bool_(False), jnp.int32(0))
     cur, _, action, child, _, _ = jax.lax.while_loop(cond, body, init)
     is_term = child >= 0
-    return cur, action, child, is_term
+    parent_state = jax.tree.map(lambda x: x[cur], tree.states)
+    return cur, action, child, is_term, parent_state
 
 
 # ---------------------------------------------------------------------------
@@ -190,8 +186,8 @@ def _backup(tree: Tree, leaf: jnp.ndarray, value: jnp.ndarray) -> Tree:
         pc = jnp.clip(p, 0, tree.parent_index.shape[0] - 1)
         ac = jnp.clip(a, 0, tree.child_N.shape[1] - 1)
         inc = jnp.where(has_parent, 1.0, 0.0)
-        c_n = c_n.at[pc, ac].add(jnp.where(has_parent, 1.0, 0.0) * jnp.where(a >= 0, 1.0, 0.0))
-        c_w = c_w.at[pc, ac].add(jnp.where(has_parent & (a >= 0), v, 0.0))
+        c_n = c_n.at[pc, ac].add(inc)
+        c_w = c_w.at[pc, ac].add(jnp.where(has_parent, v, 0.0))
         r_n = r_n + (1.0 - inc)
         r_w = r_w + jnp.where(has_parent, 0.0, v)
         return (p, -v, c_n, c_w, r_n, r_w)
@@ -203,62 +199,52 @@ def _backup(tree: Tree, leaf: jnp.ndarray, value: jnp.ndarray) -> Tree:
 
 
 # ---------------------------------------------------------------------------
-# One simulation, phase-split around the batched NN eval
+# Materialize + expand + backup (around the batch-level step / NN eval)
 # ---------------------------------------------------------------------------
 
 
-def _simulate_pre(engine, tree: Tree, c_puct_base: float, c_puct_init: float,
-                  max_depth: int):
-    """Select + materialize the new leaf; returns updated tree, the leaf id,
-    whether it needs NN evaluation, and its observation."""
-    parent, action, existing_child, hit_terminal = _select_leaf(
-        tree, c_puct_base, c_puct_init, max_depth
-    )
-
-    parent_state = jax.tree.map(lambda x: x[parent], tree.states)
-    new_state = engine.step(parent_state, action)
-    slot = tree.next_free
+def _materialize(engine, tree: Tree, parent: jnp.ndarray, action: jnp.ndarray,
+                 existing_child: jnp.ndarray, hit_terminal: jnp.ndarray,
+                 new_state: GameState):
+    """Writes the freshly stepped leaf into the tree (masked no-op when the
+    selection hit an existing terminal node); returns (tree, leaf, needs_eval,
+    leaf_obs)."""
+    cap = tree.parent_index.shape[0]
+    slot = jnp.clip(tree.next_free, 0, cap - 1)
     is_new = ~hit_terminal
 
-    # Materialize (writes masked by is_new; the slot is simply left unused
-    # otherwise — uniform compute, masked effects).
-    cap = tree.parent_index.shape[0]
-    slot_c = jnp.clip(slot, 0, cap - 1)
     states = jax.tree.map(
-        lambda arr, s: arr.at[slot_c].set(jnp.where(is_new, s, arr[slot_c])),
+        lambda arr, s: arr.at[slot].set(jnp.where(is_new, s, arr[slot])),
         tree.states, new_state,
     )
     tree = tree.replace(
         states=states,
-        parent_index=tree.parent_index.at[slot_c].set(
-            jnp.where(is_new, parent, tree.parent_index[slot_c])
+        parent_index=tree.parent_index.at[slot].set(
+            jnp.where(is_new, parent, tree.parent_index[slot])
         ),
-        action_from_parent=tree.action_from_parent.at[slot_c].set(
-            jnp.where(is_new, action, tree.action_from_parent[slot_c])
+        action_from_parent=tree.action_from_parent.at[slot].set(
+            jnp.where(is_new, action, tree.action_from_parent[slot])
         ),
-        node_done=tree.node_done.at[slot_c].set(
-            jnp.where(is_new, new_state.done, tree.node_done[slot_c])
+        node_done=tree.node_done.at[slot].set(
+            jnp.where(is_new, new_state.done, tree.node_done[slot])
         ),
-        node_reward=tree.node_reward.at[slot_c].set(
-            jnp.where(is_new, new_state.last_reward, tree.node_reward[slot_c])
-        ),
-        node_legal=tree.node_legal.at[slot_c].set(
-            jnp.where(is_new, engine.legal_actions(new_state), tree.node_legal[slot_c])
+        node_reward=tree.node_reward.at[slot].set(
+            jnp.where(is_new, new_state.last_reward, tree.node_reward[slot])
         ),
         children_index=tree.children_index.at[parent, action].set(
-            jnp.where(is_new, slot_c, tree.children_index[parent, action])
+            jnp.where(is_new, slot, tree.children_index[parent, action])
         ),
         next_free=tree.next_free + jnp.where(is_new, 1, 0),
     )
 
-    leaf = jnp.where(is_new, slot_c, jnp.clip(existing_child, 0, cap - 1))
+    leaf = jnp.where(is_new, slot, jnp.clip(existing_child, 0, cap - 1))
     leaf_state = jax.tree.map(lambda x: x[leaf], tree.states)
     needs_eval = is_new & ~new_state.done
     obs = engine.observation(leaf_state)
     return tree, leaf, needs_eval, obs
 
 
-def _simulate_post(tree: Tree, leaf: jnp.ndarray, needs_eval: jnp.ndarray,
+def _expand_backup(tree: Tree, leaf: jnp.ndarray, needs_eval: jnp.ndarray,
                    prior: jnp.ndarray, value: jnp.ndarray) -> Tree:
     """Expand evaluated leaves; back up NN value or true terminal reward.
 
@@ -310,9 +296,9 @@ def batched_search(
 
     obs0 = jax.vmap(engine.observation)(root_states)
     prior0, value0 = eval_fn(obs0)
-    trees = jax.vmap(functools.partial(_make_tree, engine, capacity=capacity))(
-        root_states, prior0, value0
-    )
+    trees = jax.vmap(
+        functools.partial(_make_tree, capacity=capacity, num_actions=engine.num_actions)
+    )(root_states, prior0, value0)
     if root_noise:
         batch = value0.shape[0]
         noise_rngs = jax.random.split(rng, batch)
@@ -320,16 +306,21 @@ def batched_search(
             functools.partial(_add_dirichlet_noise, eps=dirichlet_eps, alpha=dirichlet_alpha)
         )(trees, noise_rngs)
 
-    pre = jax.vmap(
-        functools.partial(_simulate_pre, engine, c_puct_base=c_puct_base,
+    select = jax.vmap(
+        functools.partial(_select_leaf, c_puct_base=c_puct_base,
                           c_puct_init=c_puct_init, max_depth=max_depth)
     )
-    post = jax.vmap(_simulate_post)
+    materialize = jax.vmap(functools.partial(_materialize, engine))
+    expand_backup = jax.vmap(_expand_backup)
 
     def sim_body(_, trees):
-        trees, leaf, needs_eval, obs = pre(trees)
+        parent, action, child, hit_term, parent_states = select(trees)
+        new_states = engine.step_batch(parent_states, action)
+        trees, leaf, needs_eval, obs = materialize(
+            trees, parent, action, child, hit_term, new_states
+        )
         prior, value = eval_fn(obs)
-        return post(trees, leaf, needs_eval, prior, value)
+        return expand_backup(trees, leaf, needs_eval, prior, value)
 
     trees = jax.lax.fori_loop(0, num_simulations - 1, sim_body, trees)
 
@@ -337,7 +328,7 @@ def batched_search(
         child_N=trees.child_N[:, 0],
         child_W=trees.child_W[:, 0],
         root_Q=trees.root_W / jnp.maximum(trees.root_N, 1.0),
-        legal=trees.node_legal[:, 0],
+        legal=trees.states.legal[:, 0],
     )
 
 

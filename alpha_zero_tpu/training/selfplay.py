@@ -161,7 +161,7 @@ def make_selfplay_step(
             marked = sp.marked_resign_player
 
         to_play = games.to_play
-        stepped = jax.vmap(engine.step)(games, move)
+        stepped = engine.step_batch(games, move)
         done = stepped.done
 
         out = StepOutput(

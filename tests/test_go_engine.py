@@ -27,7 +27,7 @@ def play(engine, state, move):
 
 
 def legal(engine, state):
-    return np.asarray(jitted(engine, "legal_actions")(state))
+    return np.asarray(state.legal)
 
 
 def flat(n, r, c):
@@ -48,7 +48,8 @@ def setup_board(engine, rows):
     state = engine.init()
     board = jnp.asarray(board)
     history = jnp.broadcast_to(board[None], state.history.shape)
-    return state.replace(board=board, history=history)
+    # Hand-built states must refresh the cached group analysis/legal mask.
+    return jitted(engine, "analyze")(state.replace(board=board, history=history))
 
 
 # ---------------------------------------------------------------------------
@@ -105,17 +106,19 @@ def test_suicide_is_illegal():
     n = 5
     engine = make_engine(n)
     # (0,0) corner point surrounded by black; white to move there = suicide.
-    state = setup_board(engine, [
-        ". X . . .",
-        "X . . . .",
-        ". . . . .",
-        ". . . . .",
-        ". . . . .",
-    ]).replace(to_play=jnp.int8(WHITE))
+    state = jitted(engine, "analyze")(
+        setup_board(engine, [
+            ". X . . .",
+            "X . . . .",
+            ". . . . .",
+            ". . . . .",
+            ". . . . .",
+        ]).replace(to_play=jnp.int8(WHITE))
+    )
     mask = legal(engine, state)
     assert mask[flat(n, 0, 0)] == 0
     # ...but legal for black (own group gets the liberty union).
-    state_b = state.replace(to_play=jnp.int8(BLACK))
+    state_b = jitted(engine, "analyze")(state.replace(to_play=jnp.int8(BLACK)))
     assert legal(engine, state_b)[flat(n, 0, 0)] == 1
 
 
