@@ -54,6 +54,25 @@ def _shift(x: jnp.ndarray, dr: int, dc: int, fill) -> jnp.ndarray:
     return padded[1 + dr : 1 + dr + n, 1 + dc : 1 + dc + n]
 
 
+def _onehot_gather(values: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``values[idx]`` as a one-hot matmul — native TPU gathers serialize on
+    small arrays, while an [M, S] x [S] one-hot product rides the MXU/VPU.
+
+    values: f32[S]; idx: int[M] in [0, S). Returns f32[M]. Exact for integer
+    payloads < 2^24.
+    """
+    s = values.shape[0]
+    oh = jax.nn.one_hot(idx, s, dtype=jnp.float32)
+    return oh @ values
+
+
+def _onehot_scatter_add(contrib: jnp.ndarray, idx: jnp.ndarray, size: int) -> jnp.ndarray:
+    """``zeros(size).at[idx].add(contrib)`` as a one-hot matmul (transpose
+    of the gather trick). contrib: f32[M]; idx: int[M] in [0, size)."""
+    oh = jax.nn.one_hot(idx, size, dtype=jnp.float32)
+    return contrib @ oh
+
+
 class GoEngine:
     """Static-config namespace of pure functions over :class:`GameState`.
 
@@ -122,18 +141,25 @@ class GoEngine:
     # Group analysis
     # -----------------------------------------------------------------------
     def _label_sweep(self, labels: jnp.ndarray, same_mask, active) -> jnp.ndarray:
-        """One hook (min over connected neighbors) + two pointer jumps."""
+        """One hook (min over connected neighbors) + two pointer jumps.
+
+        Labels are carried as f32 (exact small integers) so the pointer jumps
+        — gathers by value — lower to one-hot matmuls on the MXU instead of
+        serialized TPU gathers.
+        """
         n = self.board_size
         sent = n * n
         m = labels
         for idx, (dr, dc) in enumerate(_DIRS):
-            nb_label = _shift(labels, dr, dc, sent)
-            m = jnp.minimum(m, jnp.where(same_mask[idx], nb_label, sent))
-        m = jnp.where(active, m, sent)
+            nb_label = _shift(labels, dr, dc, float(sent))
+            m = jnp.minimum(m, jnp.where(same_mask[idx], nb_label, float(sent)))
+        m = jnp.where(active, m, float(sent))
+        iota = jnp.arange(sent + 1, dtype=jnp.float32)
         for _ in range(2):
             flat = m.reshape(-1)
-            jumped = jnp.where(flat < sent, flat[jnp.clip(flat, 0, sent - 1)], sent)
-            m = jumped.reshape(n, n)
+            vals = jnp.concatenate([flat, jnp.full((1,), sent, jnp.float32)])
+            oh = (flat[:, None] == iota[None, :]).astype(jnp.float32)
+            m = (oh @ vals).reshape(n, n)
         return m
 
     def _label_components(self, active: jnp.ndarray, same_mask) -> jnp.ndarray:
@@ -148,8 +174,8 @@ class GoEngine:
         """
         n = self.board_size
         sent = n * n
-        idx = jnp.arange(sent, dtype=jnp.int32).reshape(n, n)
-        labels = jnp.where(active, idx, sent)
+        idx = jnp.arange(sent, dtype=jnp.float32).reshape(n, n)
+        labels = jnp.where(active, idx, float(sent))
         for _ in range(self.label_rounds):
             labels = self._label_sweep(labels, same_mask, active)
 
@@ -166,7 +192,7 @@ class GoEngine:
         labels, _, _ = jax.lax.while_loop(
             cond, body, (first, jnp.any(first != labels), jnp.int32(0))
         )
-        return labels
+        return labels.astype(jnp.int32)
 
     def label_groups(self, board: jnp.ndarray) -> jnp.ndarray:
         """Group labels for stones (both colors at once; same-color
@@ -186,7 +212,7 @@ class GoEngine:
         sent = n * n
         empty = board == EMPTY
 
-        counts = jnp.zeros(sent + 1, jnp.int32)
+        counts = jnp.zeros(sent + 1, jnp.float32)
         seen = []
         for dr, dc in _DIRS:
             nb_label = _shift(labels, dr, dc, sent)
@@ -195,9 +221,11 @@ class GoEngine:
             )
             valid = empty & (nb_label != sent) & ~dup
             target = jnp.where(valid, nb_label, sent).reshape(-1)
-            counts = counts.at[target].add(valid.reshape(-1).astype(jnp.int32))
+            counts = counts + _onehot_scatter_add(
+                valid.reshape(-1).astype(jnp.float32), target, sent + 1
+            )
             seen.append(nb_label)
-        return counts
+        return counts.astype(jnp.int32)
 
     def _compute_legal(self, board, labels, counts, ko, to_play, done) -> jnp.ndarray:
         """Vectorized all-points legality (go_engine.py:417-441)."""
@@ -207,10 +235,12 @@ class GoEngine:
         has_empty_nb = jnp.zeros_like(empty)
         friendly_alive = jnp.zeros_like(empty)
         captures_sth = jnp.zeros_like(empty)
+        counts_f = counts.astype(jnp.float32)
         for dr, dc in _DIRS:
             nb_board = _shift(board, dr, dc, _WALL)
             nb_label = _shift(labels, dr, dc, sent)
-            nb_libs = jnp.where(nb_label != sent, counts[jnp.clip(nb_label, 0, sent)], 0)
+            libs_gathered = _onehot_gather(counts_f, nb_label.reshape(-1)).reshape(n, n)
+            nb_libs = jnp.where(nb_label != sent, libs_gathered, 0.0)
             has_empty_nb |= nb_board == EMPTY
             friendly_alive |= (nb_board == to_play) & (nb_libs >= 2)
             captures_sth |= (nb_board == -to_play) & (nb_libs == 1)
@@ -252,18 +282,28 @@ class GoEngine:
             same.append(nb_empty & empty)
         labels = self._label_components(empty, same)
 
-        borders_black = jnp.zeros(sent + 1, jnp.int32)
-        borders_white = jnp.zeros(sent + 1, jnp.int32)
+        # Border "max" over 0/1 flags == "any", i.e. scatter-add > 0 — which
+        # keeps everything in one-hot matmul land.
         target = jnp.where(empty, labels, sent).reshape(-1)
+        black_touch = jnp.zeros(sent + 1, jnp.float32)
+        white_touch = jnp.zeros(sent + 1, jnp.float32)
         for dr, dc in _DIRS:
             nb_board = _shift(board, dr, dc, _WALL)
-            borders_black = borders_black.at[target].max((nb_board == BLACK).reshape(-1).astype(jnp.int32))
-            borders_white = borders_white.at[target].max((nb_board == WHITE).reshape(-1).astype(jnp.int32))
+            black_touch = black_touch + _onehot_scatter_add(
+                (nb_board == BLACK).reshape(-1).astype(jnp.float32), target, sent + 1
+            )
+            white_touch = white_touch + _onehot_scatter_add(
+                (nb_board == WHITE).reshape(-1).astype(jnp.float32), target, sent + 1
+            )
 
-        region_black = (borders_black == 1) & (borders_white == 0)
-        region_white = (borders_white == 1) & (borders_black == 0)
-        terr_black = jnp.sum(jnp.where(empty, region_black[jnp.clip(labels, 0, sent)], False))
-        terr_white = jnp.sum(jnp.where(empty, region_white[jnp.clip(labels, 0, sent)], False))
+        region_black = ((black_touch > 0) & (white_touch == 0)).astype(jnp.float32)
+        region_white = ((white_touch > 0) & (black_touch == 0)).astype(jnp.float32)
+        terr_black = jnp.sum(
+            jnp.where(empty.reshape(-1), _onehot_gather(region_black, target), 0.0)
+        )
+        terr_white = jnp.sum(
+            jnp.where(empty.reshape(-1), _onehot_gather(region_white, target), 0.0)
+        )
 
         black = jnp.sum(board == BLACK) + terr_black
         white = jnp.sum(board == WHITE) + terr_white

@@ -16,6 +16,12 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compile cache: the search program is large; repeated bench runs
+# (and the driver's run) skip the multi-minute first compile.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 BASELINE_ENV_STEPS_PER_S = 418.0  # logs/go/9x9/run.log fleet throughput
 
 
