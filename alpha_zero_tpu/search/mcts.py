@@ -3,27 +3,37 @@
 A TPU-first redesign of the reference search (`alpha_zero/core/mcts_v2.py`):
 instead of Python ``Node`` objects with on-demand children and
 ``copy.deepcopy(env)`` per simulation (mcts_v2.py:56-140, :579), the whole
-search state is a structure-of-arrays pytree with a leading batch dimension:
+search state is a structure-of-arrays pytree with a leading batch dimension.
 
-- per-node child statistics ``child_N/child_W/child_P [T, A]`` stored at the
-  parent, exactly the reference's parent-layout (mcts_v2.py:111-135) with the
-  root's own N/W as scalars standing in for its ``DummyNode`` (:56-62);
-- game states (with their cached legality/group analysis) stored per node, so
-  selection walks the tree without re-stepping the environment — one batched
-  engine step per simulation, only to create the new leaf;
-- one neural-net evaluation per simulation, batched over *all games*. This
+Layout choices are driven by what runs fast on TPU:
+
+- **node-indexed visit/value stats** (``node_N/node_W [T]``): the stats of the
+  edge INTO each node. This is numerically identical to the reference's
+  parent-layout ``child_N/child_W`` (``node.N`` lives at the parent,
+  mcts_v2.py:111-135) with node 0's entry playing the ``DummyNode`` root slot
+  (:56-62) — but makes backup a dense [T]-vector update instead of scattered
+  [T, A] writes.
+- **one-hot matmuls instead of gathers/scatters**: per-game dynamic indexing
+  under ``vmap`` lowers to serialized TPU gathers; every row/element fetch
+  here is an MXU-friendly one-hot product.
+- **path-recording select + single-matmul backup**: selection records the
+  visited nodes at uniform depth indices (fast dynamic-update-slice under
+  vmap); backup folds the whole sign-alternating path update
+  (mcts_v2.py:213-232) into one one-hot matrix product.
+- **lockstep slot allocation**: simulation ``i`` always materializes into
+  slot ``i+1`` (a batch-uniform index), wasting the slot when selection hit
+  an existing terminal node — uniform-index writes are dynamic-update-slices,
+  per-lane writes would be scatters.
+- one neural-net evaluation per simulation, batched over all games. This
   replaces the reference's virtual-loss tree parallelism (mcts_v2.py:453-482,
   :568-625): the whole batch advances synchronously, one leaf per game per
   simulation, so virtual loss is unnecessary — NN batching comes from the
-  game batch (thousands of games) instead of 8 intra-tree leaves. Search
-  semantics otherwise match the *serial* ``uct_search`` (mcts_v2.py:301-450):
-  PUCT with sign-flipped child Q, terminal-state backup with the true reward,
-  Dirichlet root noise, temperature with exponent clamped to [1, 5].
+  game batch (thousands of games) instead of 8 intra-tree leaves.
 
-Each simulation is three phases — select/step/materialize are per-game
-functions under ``vmap``; the engine step and the NN evaluation sit between
-them at the top level of a ``lax.fori_loop``, so terminal scoring and the
-forward pass run once per batch, not per game.
+Search semantics match the *serial* ``uct_search`` (mcts_v2.py:301-450)
+exactly: PUCT with sign-flipped child Q, terminal-state backup with the true
+reward, Dirichlet root noise, temperature with the [1, 5] exponent clamp —
+verified visit-for-visit against the reference in tests.
 
 Subtree reuse across moves (mcts_v2.py:643-653) is intentionally not
 implemented: each move starts a fresh tree (documented deviation; the
@@ -47,23 +57,20 @@ from alpha_zero_tpu.envs.types import GameState
 class Tree:
     """Fixed-capacity search tree for ONE game (batch via leading vmap dim).
 
-    T = num_simulations + 1 node slots; node 0 is the root. Legal masks live
-    in ``states.legal``.
+    T = num_simulations + 1 node slots; node 0 is the root; simulation i
+    materializes into slot i + 1.
     """
 
-    child_N: jnp.ndarray         # f32[T, A] edge visit counts
-    child_W: jnp.ndarray         # f32[T, A] edge total values (child-player view)
-    child_P: jnp.ndarray         # f32[T, A] edge priors
+    node_N: jnp.ndarray          # f32[T] visits of the edge into each node
+    node_W: jnp.ndarray          # f32[T] value sum (node-player perspective)
+    child_P: jnp.ndarray         # f32[T, A] child priors per node
     children_index: jnp.ndarray  # i32[T, A]; node id of child, -1 unmaterialized
-    parent_index: jnp.ndarray    # i32[T]; -1 for root
+    parent_index: jnp.ndarray    # i32[T]; -1 for root (introspection/tests)
     action_from_parent: jnp.ndarray  # i32[T]
     node_expanded: jnp.ndarray   # bool[T]; has priors (terminal nodes never do)
     node_done: jnp.ndarray       # bool[T]; game over at this node
     node_reward: jnp.ndarray     # f32[T]; reward emitted by the creating step
     states: GameState            # stacked [T, ...] game states
-    root_N: jnp.ndarray          # f32 scalar (the DummyNode's child_N entry)
-    root_W: jnp.ndarray          # f32 scalar
-    next_free: jnp.ndarray       # i32 scalar; next unallocated node slot
 
 
 class SearchResult(NamedTuple):
@@ -76,6 +83,46 @@ class SearchResult(NamedTuple):
 
 
 # ---------------------------------------------------------------------------
+# One-hot indexing primitives (TPU-fast replacements for gather/scatter)
+# ---------------------------------------------------------------------------
+
+
+def _oh(idx: jnp.ndarray, size: int) -> jnp.ndarray:
+    """One-hot f32 row for a scalar index (all-zero when out of range)."""
+    return (jnp.arange(size, dtype=jnp.int32) == idx).astype(jnp.float32)
+
+
+def _row(matrix: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """matrix[idx] for f32 [T, A] via one-hot matvec."""
+    return _oh(idx, matrix.shape[0]) @ matrix
+
+
+def _elem(vec: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """vec[idx] (f32) via one-hot dot; 0 when idx out of range."""
+    return _oh(idx, vec.shape[0]) @ vec
+
+
+def _gather_by_index_vector(vec: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """vec[idx[k]] for an index vector -> [K] via one-hot matmul; entries with
+    idx out of [0, len(vec)) read 0."""
+    size = vec.shape[0]
+    oh = (idx[:, None] == jnp.arange(size, dtype=jnp.int32)[None, :]).astype(jnp.float32)
+    return oh @ vec
+
+
+def _gather_state(states: GameState, idx: jnp.ndarray, capacity: int) -> GameState:
+    """states[idx] via one-hot matmuls (exact for small-int payloads)."""
+    oh = _oh(idx, capacity)
+
+    def g(leaf):
+        flat = leaf.reshape(capacity, -1).astype(jnp.float32)
+        out = oh @ flat
+        return out.reshape(leaf.shape[1:]).astype(leaf.dtype)
+
+    return jax.tree.map(g, states)
+
+
+# ---------------------------------------------------------------------------
 # Tree construction
 # ---------------------------------------------------------------------------
 
@@ -84,14 +131,13 @@ def _make_tree(root_state: GameState, prior: jnp.ndarray, value: jnp.ndarray,
                capacity: int, num_actions: int) -> Tree:
     """Root node expanded with ``prior`` and backed up with ``value``
     (mcts_v2.py:363-368: expand + backup give the fresh root N=1, W=v)."""
-    zeros_ta = jnp.zeros((capacity, num_actions), jnp.float32)
     states = jax.tree.map(
         lambda x: jnp.broadcast_to(x, (capacity,) + x.shape), root_state
     )
     return Tree(
-        child_N=zeros_ta,
-        child_W=zeros_ta,
-        child_P=zeros_ta.at[0].set(prior),
+        node_N=jnp.zeros((capacity,), jnp.float32).at[0].set(1.0),
+        node_W=jnp.zeros((capacity,), jnp.float32).at[0].set(value),
+        child_P=jnp.zeros((capacity, num_actions), jnp.float32).at[0].set(prior),
         children_index=jnp.full((capacity, num_actions), -1, jnp.int32),
         parent_index=jnp.full((capacity,), -1, jnp.int32),
         action_from_parent=jnp.full((capacity,), -1, jnp.int32),
@@ -99,9 +145,6 @@ def _make_tree(root_state: GameState, prior: jnp.ndarray, value: jnp.ndarray,
         node_done=jnp.zeros((capacity,), jnp.bool_),
         node_reward=jnp.zeros((capacity,), jnp.float32),
         states=states,
-        root_N=jnp.float32(1.0),
-        root_W=value.astype(jnp.float32),
-        next_free=jnp.int32(1),
     )
 
 
@@ -116,152 +159,153 @@ def _add_dirichlet_noise(tree: Tree, rng: jax.Array, eps: float, alpha: float) -
 
 
 # ---------------------------------------------------------------------------
-# Selection
+# Selection (records the path for the matmul backup)
 # ---------------------------------------------------------------------------
 
 
-def _puct_scores(tree: Tree, node: jnp.ndarray, node_visits: jnp.ndarray,
-                 c_puct_base: float, c_puct_init: float) -> jnp.ndarray:
-    """-Q + U over the node's children (mcts_v2.py:99-109, 142-186)."""
-    c_n = tree.child_N[node]
-    c_w = tree.child_W[node]
-    c_p = tree.child_P[node]
-    pb_c = jnp.log((1.0 + node_visits + c_puct_base) / c_puct_base) + c_puct_init
-    u = pb_c * c_p * (jnp.sqrt(node_visits) / (1.0 + c_n))
-    q = c_w / jnp.maximum(c_n, 1.0)
-    scores = -q + u
-    return jnp.where(tree.states.legal[node], scores, -9999.0)
-
-
-def _select_leaf(tree: Tree, c_puct_base: float, c_puct_init: float,
-                 max_depth: int):
+def _select_leaf(tree: Tree, path_cap: int, c_puct_base: float,
+                 c_puct_init: float):
     """Descends by PUCT until an unmaterialized edge or a terminal node.
 
+    The visited path is recorded as two dense [T] one-hot accumulators split
+    by depth parity (``even``/``odd``) — no per-lane indexed writes, and the
+    sign-alternating backup becomes pure vector arithmetic.
+
     Returns (parent_node, action, existing_child_or_-1, hit_terminal,
-    parent_state)."""
+    even_mask, odd_mask, depth) where depth = number of recorded nodes (the
+    leaf's depth).
+    """
+    capacity = tree.node_N.shape[0]
 
     def cond(carry):
-        _, _, _, _, stop, depth = carry
-        return ~stop & (depth < max_depth)
+        _, _, _, _, stop, depth, _, _ = carry
+        return ~stop & (depth < path_cap)
 
     def body(carry):
-        cur, n_cur, _, _, _, depth = carry
-        scores = _puct_scores(tree, cur, n_cur, c_puct_base, c_puct_init)
+        cur, n_cur, _, _, _, depth, even, odd = carry
+        # PUCT over cur's children (mcts_v2.py:99-109, 142-186).
+        ci_row_f = _row(tree.children_index.astype(jnp.float32), cur)
+        ci_row = ci_row_f.astype(jnp.int32)
+        p_row = _row(tree.child_P, cur)
+        legal_row = _row(tree.states.legal.astype(jnp.float32), cur) > 0.5
+        c_n = jnp.where(ci_row >= 0, _gather_by_index_vector(tree.node_N, ci_row), 0.0)
+        c_w = jnp.where(ci_row >= 0, _gather_by_index_vector(tree.node_W, ci_row), 0.0)
+
+        pb_c = jnp.log((1.0 + n_cur + c_puct_base) / c_puct_base) + c_puct_init
+        u = pb_c * p_row * (jnp.sqrt(n_cur) / (1.0 + c_n))
+        q = c_w / jnp.maximum(c_n, 1.0)
+        scores = jnp.where(legal_row, -q + u, -9999.0)
         action = jnp.argmax(scores).astype(jnp.int32)
-        child = tree.children_index[cur, action]
+
+        child = (_oh(action, scores.shape[0]) @ ci_row_f).astype(jnp.int32)
         is_new = child < 0
-        child_c = jnp.clip(child, 0, tree.parent_index.shape[0] - 1)
-        is_term = ~is_new & tree.node_done[child_c]
+        is_term = ~is_new & (_elem(tree.node_done.astype(jnp.float32),
+                                   jnp.clip(child, 0, capacity - 1)) > 0.5)
         stop = is_new | is_term
-        nxt = jnp.where(stop, cur, child_c)
-        nxt_n = jnp.where(stop, n_cur, tree.child_N[cur, action])
-        return (nxt, nxt_n, action, child, stop, depth + 1)
+        # Record cur at this depth into the parity accumulators (dense add).
+        cur_oh = _oh(cur, capacity)
+        is_even = (depth % 2) == 0
+        even = even + jnp.where(is_even, 1.0, 0.0) * cur_oh
+        odd = odd + jnp.where(is_even, 0.0, 1.0) * cur_oh
+        nxt = jnp.where(stop, cur, jnp.clip(child, 0, capacity - 1))
+        child_n = _elem(tree.node_N, jnp.clip(child, 0, capacity - 1))
+        nxt_n = jnp.where(stop, n_cur, child_n)
+        return (nxt, nxt_n, action, child, stop, depth + 1, even, odd)
 
-    init = (jnp.int32(0), tree.root_N, jnp.int32(-1), jnp.int32(-1),
-            jnp.bool_(False), jnp.int32(0))
-    cur, _, action, child, _, _ = jax.lax.while_loop(cond, body, init)
-    is_term = child >= 0
-    parent_state = jax.tree.map(lambda x: x[cur], tree.states)
-    return cur, action, child, is_term, parent_state
+    zeros_t = jnp.zeros((capacity,), jnp.float32)
+    init = (jnp.int32(0), tree.node_N[0], jnp.int32(-1), jnp.int32(-1),
+            jnp.bool_(False), jnp.int32(0), zeros_t, zeros_t)
+    cur, _, action, child, _, depth, even, odd = jax.lax.while_loop(cond, body, init)
+    hit_terminal = child >= 0
+    return cur, action, child, hit_terminal, even, odd, depth
 
 
 # ---------------------------------------------------------------------------
-# Backup
+# Backup: one one-hot matmul for the whole sign-alternating path
 # ---------------------------------------------------------------------------
 
 
-def _backup(tree: Tree, leaf: jnp.ndarray, value: jnp.ndarray) -> Tree:
-    """Adds ``value`` (leaf player's perspective) up the path, flipping sign
-    per level (mcts_v2.py:213-232); the root's stats live in the scalars."""
+def _backup(tree: Tree, even: jnp.ndarray, odd: jnp.ndarray,
+            leaf_depth: jnp.ndarray, leaf: jnp.ndarray,
+            value: jnp.ndarray) -> Tree:
+    """Adds ``value`` (leaf player's perspective) to the leaf and alternating
+    -value up the recorded path (mcts_v2.py:213-232), as dense [T] vector
+    arithmetic over the parity masks.
 
-    def cond(carry):
-        node, *_ = carry
-        return node >= 0
-
-    def body(carry):
-        node, v, c_n, c_w, r_n, r_w = carry
-        p = tree.parent_index[node]
-        a = tree.action_from_parent[node]
-        has_parent = p >= 0
-        pc = jnp.clip(p, 0, tree.parent_index.shape[0] - 1)
-        ac = jnp.clip(a, 0, tree.child_N.shape[1] - 1)
-        inc = jnp.where(has_parent, 1.0, 0.0)
-        c_n = c_n.at[pc, ac].add(inc)
-        c_w = c_w.at[pc, ac].add(jnp.where(has_parent, v, 0.0))
-        r_n = r_n + (1.0 - inc)
-        r_w = r_w + jnp.where(has_parent, 0.0, v)
-        return (p, -v, c_n, c_w, r_n, r_w)
-
-    _, _, c_n, c_w, r_n, r_w = jax.lax.while_loop(
-        cond, body, (leaf, value, tree.child_N, tree.child_W, tree.root_N, tree.root_W)
+    A node at depth j receives value * (-1)^(D - j) where D = leaf_depth;
+    (-1)^(D-j) = (-1)^D * (-1)^j, and (-1)^j is +1 on the even mask, -1 on
+    the odd mask. The leaf itself (depth D) receives +value.
+    """
+    capacity = tree.node_N.shape[0]
+    leaf_oh = _oh(leaf, capacity)
+    d_sign = jnp.where(leaf_depth % 2 == 0, 1.0, -1.0)
+    path_w = value * d_sign * (even - odd)
+    return tree.replace(
+        node_N=tree.node_N + even + odd + leaf_oh,
+        node_W=tree.node_W + path_w + value * leaf_oh,
     )
-    return tree.replace(child_N=c_n, child_W=c_w, root_N=r_n, root_W=r_w)
 
 
 # ---------------------------------------------------------------------------
-# Materialize + expand + backup (around the batch-level step / NN eval)
+# Materialize + expand (around the batch-level step / NN eval)
 # ---------------------------------------------------------------------------
 
 
-def _materialize(engine, tree: Tree, parent: jnp.ndarray, action: jnp.ndarray,
-                 existing_child: jnp.ndarray, hit_terminal: jnp.ndarray,
-                 new_state: GameState):
-    """Writes the freshly stepped leaf into the tree (masked no-op when the
-    selection hit an existing terminal node); returns (tree, leaf, needs_eval,
-    leaf_obs)."""
-    cap = tree.parent_index.shape[0]
-    slot = jnp.clip(tree.next_free, 0, cap - 1)
+def _materialize(tree: Tree, slot: jnp.ndarray, parent: jnp.ndarray,
+                 action: jnp.ndarray, existing_child: jnp.ndarray,
+                 hit_terminal: jnp.ndarray, new_state: GameState):
+    """Writes the freshly stepped leaf into (batch-uniform) ``slot``; when the
+    selection hit an existing terminal node the slot is written but never
+    linked. Returns (tree, leaf, needs_eval)."""
+    capacity = tree.node_N.shape[0]
+    num_actions = tree.child_P.shape[-1]
     is_new = ~hit_terminal
 
     states = jax.tree.map(
-        lambda arr, s: arr.at[slot].set(jnp.where(is_new, s, arr[slot])),
-        tree.states, new_state,
+        lambda arr, s: arr.at[slot].set(s), tree.states, new_state
     )
+    # Link parent -> slot via a one-hot outer-product blend (per-lane (row,
+    # col) scatter would serialize).
+    link = (_oh(parent, capacity)[:, None] * _oh(action, num_actions)[None, :]) > 0.5
+    children_index = jnp.where(link & is_new, slot, tree.children_index)
+
     tree = tree.replace(
         states=states,
-        parent_index=tree.parent_index.at[slot].set(
-            jnp.where(is_new, parent, tree.parent_index[slot])
-        ),
-        action_from_parent=tree.action_from_parent.at[slot].set(
-            jnp.where(is_new, action, tree.action_from_parent[slot])
-        ),
-        node_done=tree.node_done.at[slot].set(
-            jnp.where(is_new, new_state.done, tree.node_done[slot])
-        ),
-        node_reward=tree.node_reward.at[slot].set(
-            jnp.where(is_new, new_state.last_reward, tree.node_reward[slot])
-        ),
-        children_index=tree.children_index.at[parent, action].set(
-            jnp.where(is_new, slot, tree.children_index[parent, action])
-        ),
-        next_free=tree.next_free + jnp.where(is_new, 1, 0),
+        parent_index=tree.parent_index.at[slot].set(parent),
+        action_from_parent=tree.action_from_parent.at[slot].set(action),
+        node_done=tree.node_done.at[slot].set(new_state.done),
+        node_reward=tree.node_reward.at[slot].set(new_state.last_reward),
+        node_N=tree.node_N.at[slot].set(0.0),
+        node_W=tree.node_W.at[slot].set(0.0),
+        children_index=children_index,
     )
-
-    leaf = jnp.where(is_new, slot, jnp.clip(existing_child, 0, cap - 1))
-    leaf_state = jax.tree.map(lambda x: x[leaf], tree.states)
+    leaf = jnp.where(is_new, slot, jnp.clip(existing_child, 0, capacity - 1))
     needs_eval = is_new & ~new_state.done
-    obs = engine.observation(leaf_state)
-    return tree, leaf, needs_eval, obs
+    return tree, leaf, needs_eval
 
 
-def _expand_backup(tree: Tree, leaf: jnp.ndarray, needs_eval: jnp.ndarray,
+def _expand_backup(tree: Tree, slot: jnp.ndarray, leaf: jnp.ndarray,
+                   needs_eval: jnp.ndarray, even: jnp.ndarray,
+                   odd: jnp.ndarray, leaf_depth: jnp.ndarray,
                    prior: jnp.ndarray, value: jnp.ndarray) -> Tree:
-    """Expand evaluated leaves; back up NN value or true terminal reward.
+    """Expand evaluated leaves (priors at the uniform slot); back up NN value
+    or the true terminal reward.
 
     Terminal leaves back up ``-reward`` — the reward belongs to the player who
     *made* the terminal move, the opposite of the leaf's player to move
     (mcts_v2.py:406-411).
     """
     tree = tree.replace(
-        child_P=tree.child_P.at[leaf].set(
-            jnp.where(needs_eval, prior, tree.child_P[leaf])
+        child_P=tree.child_P.at[slot].set(
+            jnp.where(needs_eval, prior, tree.child_P[slot])
         ),
-        node_expanded=tree.node_expanded.at[leaf].set(
-            jnp.where(needs_eval, True, tree.node_expanded[leaf])
+        node_expanded=tree.node_expanded.at[slot].set(
+            jnp.where(needs_eval, True, tree.node_expanded[slot])
         ),
     )
-    backup_value = jnp.where(needs_eval, value, -tree.node_reward[leaf])
-    return _backup(tree, leaf, backup_value)
+    term_reward = _elem(tree.node_reward, leaf)
+    backup_value = jnp.where(needs_eval, value, -term_reward)
+    return _backup(tree, even, odd, leaf_depth, leaf, backup_value)
 
 
 # ---------------------------------------------------------------------------
@@ -292,7 +336,8 @@ def batched_search(
     at N=1 after its own expand+backup, mcts_v2.py:363-378).
     """
     capacity = num_simulations + 1
-    max_depth = num_simulations + 1
+    # A path can't outgrow the tree depth nor the game length.
+    path_cap = min(num_simulations + 1, engine.max_steps + 2)
 
     obs0 = jax.vmap(engine.observation)(root_states)
     prior0, value0 = eval_fn(obs0)
@@ -307,27 +352,42 @@ def batched_search(
         )(trees, noise_rngs)
 
     select = jax.vmap(
-        functools.partial(_select_leaf, c_puct_base=c_puct_base,
-                          c_puct_init=c_puct_init, max_depth=max_depth)
+        functools.partial(_select_leaf, path_cap=path_cap,
+                          c_puct_base=c_puct_base, c_puct_init=c_puct_init)
     )
-    materialize = jax.vmap(functools.partial(_materialize, engine))
-    expand_backup = jax.vmap(_expand_backup)
+    gather_state = jax.vmap(functools.partial(_gather_state, capacity=capacity))
+    materialize = jax.vmap(_materialize, in_axes=(0, None, 0, 0, 0, 0, 0))
+    expand_backup = jax.vmap(_expand_backup, in_axes=(0, None, 0, 0, 0, 0, 0, 0, 0))
 
-    def sim_body(_, trees):
-        parent, action, child, hit_term, parent_states = select(trees)
+    def sim_body(i, trees):
+        slot = i + 1  # lockstep slot allocation (batch-uniform index)
+        parent, action, child, hit_term, even, odd, depth = select(trees)
+        parent_states = gather_state(trees.states, parent)
         new_states = engine.step_batch(parent_states, action)
-        trees, leaf, needs_eval, obs = materialize(
-            trees, parent, action, child, hit_term, new_states
+        trees, leaf, needs_eval = materialize(
+            trees, slot, parent, action, child, hit_term, new_states
         )
+        obs = jax.vmap(engine.observation)(new_states)
         prior, value = eval_fn(obs)
-        return expand_backup(trees, leaf, needs_eval, prior, value)
+        return expand_backup(trees, slot, leaf, needs_eval, even, odd, depth,
+                             prior, value)
 
     trees = jax.lax.fori_loop(0, num_simulations - 1, sim_body, trees)
 
+    # Root child stats: visits/values of the root's children, action-indexed
+    # (one plain gather outside the hot loop is fine).
+    root_children = trees.children_index[:, 0, :]
+    safe = jnp.clip(root_children, 0, capacity - 1)
+    child_n = jnp.where(
+        root_children >= 0, jnp.take_along_axis(trees.node_N, safe, axis=1), 0.0
+    )
+    child_w = jnp.where(
+        root_children >= 0, jnp.take_along_axis(trees.node_W, safe, axis=1), 0.0
+    )
     return SearchResult(
-        child_N=trees.child_N[:, 0],
-        child_W=trees.child_W[:, 0],
-        root_Q=trees.root_W / jnp.maximum(trees.root_N, 1.0),
+        child_N=child_n,
+        child_W=child_w,
+        root_Q=trees.node_W[:, 0] / jnp.maximum(trees.node_N[:, 0], 1.0),
         legal=trees.states.legal[:, 0],
     )
 
