@@ -165,12 +165,31 @@ class Trainer:
             cfg.resign, cfg.train.games_per_ckpt, self.logger
         )
 
+        # Multi-chip: shard the train state / batches / game batch over the
+        # ('dp', 'mdl') mesh when more than one device is requested — XLA
+        # then inserts the psum gradient collectives over ICI.
+        self.mesh = None
+        self.data_sharding = None
+        n_mesh = cfg.parallel.dp * cfg.parallel.mdl
+        if n_mesh > 1:
+            from alpha_zero_tpu.parallel import mesh as mesh_lib
+
+            self.mesh = mesh_lib.make_mesh(n_devices=n_mesh, mdl=cfg.parallel.mdl)
+            self.data_sharding = mesh_lib.batch_sharding(self.mesh)
+            self.train_state = mesh_lib.shard_train_state(
+                self.mesh, self.train_state, self.tx
+            )
+
         batch = cfg.parallel.selfplay_batch_size
         self.sp_state = selfplay_lib.init_selfplay_state(
             self.engine, batch, sp_rng,
             resign_threshold=self.resign_controller.threshold,
             disable_resign_ratio=cfg.resign.disable_resign_ratio,
         )
+        if self.data_sharding is not None:
+            self.sp_state = jax.tree.map(
+                lambda x: jax.device_put(x, self.data_sharding), self.sp_state
+            )
         self.accumulator = selfplay_lib.EpisodeAccumulator(batch)
 
         self.actor_writer = CsvWriter(os.path.join(cfg.run.logs_dir, "actor0.csv"))
@@ -300,12 +319,15 @@ class Trainer:
             if batch is None:
                 self.logger.warning("replay too small to sample; skipping update")
                 break
+            states = jnp.asarray(batch.state)
+            pis = jnp.asarray(batch.pi_prob)
+            values = jnp.asarray(batch.value)
+            if self.data_sharding is not None:
+                states = jax.device_put(states, self.data_sharding)
+                pis = jax.device_put(pis, self.data_sharding)
+                values = jax.device_put(values, self.data_sharding)
             self.train_state, metrics = self.train_step(
-                self.train_state,
-                jnp.asarray(batch.state),
-                jnp.asarray(batch.pi_prob),
-                jnp.asarray(batch.value),
-                self._next_rng(),
+                self.train_state, states, pis, values, self._next_rng(),
             )
             self.training_steps += 1
             if (
@@ -330,6 +352,29 @@ class Trainer:
         self.logger.info(
             f"Checkpoint for step {self.training_steps} at {self.latest_ckpt_path}"
         )
+
+    # ------------------------------------------------------------------
+    def profile(self, num_steps: int = 3, out_dir: Optional[str] = None) -> str:
+        """Captures a jax.profiler trace of a few self-play + train steps
+        (the reference only has wall-clock Timers, utils/util.py:75-96)."""
+        out_dir = out_dir or os.path.join(self.cfg.run.logs_dir, "profile")
+        threshold = jnp.float32(self.resign_controller.threshold)
+        with jax.profiler.trace(out_dir):
+            for _ in range(num_steps):
+                self.sp_state, out = self.selfplay_step(
+                    self.variables, self.sp_state, self._next_rng(), threshold
+                )
+            jax.block_until_ready(out.search_pi)
+            batch = self.replay.sample(self.cfg.train.batch_size)
+            if batch is not None:
+                self.train_state, _ = self.train_step(
+                    self.train_state,
+                    jnp.asarray(batch.state), jnp.asarray(batch.pi_prob),
+                    jnp.asarray(batch.value), self._next_rng(),
+                )
+                jax.block_until_ready(self.train_state.params)
+        self.logger.info(f"profiler trace written to {out_dir}")
+        return out_dir
 
     # ------------------------------------------------------------------
     def enable_evaluator(self) -> None:
