@@ -100,7 +100,9 @@ class DatasetBuilder:
             "score_mismatch_gt_4": 0,
         }
 
-    def replay_sgf(self, sgf_file: str) -> Optional[List[Tuple[np.ndarray, np.ndarray, float]]]:
+    def prefilter(self, sgf_file: str):
+        """Metadata filters only (no engine replay). Returns
+        (komi, moves [(color, flat)], winner, result_str) or None."""
         try:
             with open(sgf_file) as f:
                 content = f.read()
@@ -136,15 +138,28 @@ class DatasetBuilder:
                 return None
             self.game_counts[pid] = self.game_counts.get(pid, 0) + 1
 
-        komi = game.komi or 0.0
-        env = GoEnv(board_size=self.board_size, komi=komi, num_stack=self.num_stack)
+        from alpha_zero_tpu.utils.coords import CoordsConvertor
+
+        cc = CoordsConvertor(self.board_size)
+        try:
+            flat_moves = [(c, cc.to_flat(cc.from_sgf(m))) for c, m in game.moves]
+        except Exception:
+            return None
         winner = sgf_lib.parse_game_result(result_str)
+        return (game.komi or 0.0, flat_moves, winner, result_str)
+
+    def replay_sgf(self, sgf_file: str) -> Optional[List[Tuple[np.ndarray, np.ndarray, float]]]:
+        meta = self.prefilter(sgf_file)
+        if meta is None:
+            return None
+        komi, flat_moves, winner, result_str = meta
+        game_moves = flat_moves
+        env = GoEnv(board_size=self.board_size, komi=komi, num_stack=self.num_stack)
 
         history: List[Tuple[np.ndarray, np.ndarray, float]] = []
         obs_nhwc = np.transpose(env.observation(), (1, 2, 0))
-        for color, sgf_coord in game.moves:
+        for color, move in game_moves:
             player = env.black_player if color == "B" else env.white_player
-            move = env.cc.to_flat(env.cc.from_sgf(sgf_coord))
             if not env.is_legal_move(move):
                 return None
             if env.to_play != player:  # handicap / out-of-turn games
@@ -162,14 +177,24 @@ class DatasetBuilder:
                 return None
             obs_nhwc = np.transpose(obs_chw, (1, 2, 0))
 
-        if env.steps != num_moves:
-            return None
-
         self._check_mismatch(env, result_str, sgf_file)
         return history
 
     def _check_mismatch(self, env: GoEnv, result_str: str, sgf_file: str) -> None:
-        env_result = env.get_result_string().upper()
+        self._check_mismatch_result(env.get_result_string(), result_str)
+
+    def check_mismatch_score(self, score: float, result_str: str) -> None:
+        """Mismatch accounting from a raw black-perspective score (fast path)."""
+        if score > 0:
+            env_result = "B+%.1f" % score
+        elif score < 0:
+            env_result = "W+%.1f" % abs(score)
+        else:
+            env_result = "DRAW"
+        self._check_mismatch_result(env_result, result_str)
+
+    def _check_mismatch_result(self, env_result: str, result_str: str) -> None:
+        env_result = env_result.upper()
         result_str = result_str.upper()
         if re.search(r"\+T", result_str) or re.search(r"\+R", result_str):
             return
@@ -193,13 +218,128 @@ class DatasetBuilder:
                 self.mismatch["score_mismatch_gt_4"] += 1
 
 
+def replay_games_batched(board_size: int, num_stack: int, games,
+                         skip_n: int = 0):
+    """Replays many parsed games in lockstep through the batched device
+    engine — the TPU fast path for corpus-scale dataset building (the
+    reference replays move-by-move through a Python env per game,
+    eval_dataset.py:149-204; this steps all games at once).
+
+    ``games``: list of (komi, [(color, flat_move)], winner) tuples that
+    already passed the metadata filters. Returns per-game transition lists
+    (obs NHWC int8, one-hot move, value) for games whose every move was legal
+    and in turn order; illegal/out-of-turn games yield None.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from alpha_zero_tpu.envs.go import GoEngine
+    from alpha_zero_tpu.envs.types import jitted
+
+    if not games:
+        return []
+    num_games = len(games)
+    max_len = max(len(moves) for _, moves, _ in games)
+    a_dim = board_size * board_size + 1
+    pass_move = board_size * board_size
+
+    # Pad move sequences with pass (masked out by length).
+    move_arr = np.full((num_games, max_len), pass_move, np.int32)
+    color_arr = np.zeros((num_games, max_len), np.int8)
+    lengths = np.zeros(num_games, np.int32)
+    for i, (_, moves, _) in enumerate(games):
+        lengths[i] = len(moves)
+        for j, (color, mv) in enumerate(moves):
+            move_arr[i, j] = mv
+            color_arr[i, j] = 1 if color == "B" else -1
+
+    # One engine per distinct komi batch would fragment; komi only affects
+    # scoring (not stepping/legality), so replay with a single engine and
+    # score per-game afterwards.
+    engine = GoEngine(board_size=board_size, num_stack=num_stack, komi=0.0,
+                      max_steps=max_len + 2)
+    step_batch = jax.jit(engine.step_batch)
+    obs_batch = jitted(engine, "observation", batched=True)
+
+    states = engine.init_batch(num_games)
+    ok = np.ones(num_games, bool)
+    all_obs = []
+    for j in range(max_len):
+        legal = np.asarray(states.legal)
+        to_play = np.asarray(states.to_play)
+        mv = move_arr[:, j]
+        active = j < lengths
+        # Reference filters: illegal move or out-of-turn (handicap) game.
+        ok &= ~active | (legal[np.arange(num_games), mv] & (to_play == color_arr[:, j]))
+        all_obs.append(np.asarray(obs_batch(states)))
+        # Inactive games step a pass (harmless; those rows are masked).
+        states = step_batch(states, jnp.asarray(mv))
+    final_scores = np.asarray(jax.jit(jax.vmap(engine.area_score))(states.board))
+
+    results = []
+    for i, (komi, moves, winner) in enumerate(games):
+        if not ok[i]:
+            results.append(None)
+            continue
+        history = []
+        for j in range(lengths[i]):
+            # The reference records the position before move j only when
+            # env.steps > skip_n, and env.steps == j there
+            # (eval_dataset.py:195) — so the empty-board position is skipped.
+            if j <= skip_n:
+                continue
+            one_hot = np.zeros(a_dim, np.float32)
+            one_hot[moves[j][1]] = 1.0
+            player = 1 if moves[j][0] == "B" else -1
+            value = 0.0
+            if winner != 0:
+                value = 1.0 if winner == player else -1.0
+            history.append((all_obs[j][i], one_hot, value))
+        results.append((history, float(final_scores[i]) - komi))
+    return results
+
+
 def build_eval_dataset(games_dir: str, board_size: int, num_stack: int,
-                       logger=None, **kwargs) -> EvalDataset:
+                       logger=None, fast: bool = True, chunk_size: int = 2048,
+                       **kwargs) -> EvalDataset:
+    """Builds the dataset; ``fast`` replays all games in lockstep on device
+    (length-sorted chunks to bound padding), falling back to the per-game
+    host path when off."""
     logger = logger or create_logger()
     builder = DatasetBuilder(board_size, num_stack, logger, **kwargs)
     states, target_pi, target_v = [], [], []
     valid_games = 0
-    for sgf_file in get_sgf_files(games_dir):
+
+    if fast:
+        metas = []
+        for sgf_file in get_sgf_files(games_dir):
+            meta = builder.prefilter(sgf_file)
+            if meta is not None:
+                metas.append(meta)
+        metas.sort(key=lambda m: len(m[1]))
+        for start in range(0, len(metas), chunk_size):
+            chunk = metas[start:start + chunk_size]
+            results = replay_games_batched(
+                board_size, num_stack,
+                [(k, mv, w) for k, mv, w, _ in chunk],
+                skip_n=builder.skip_n,
+            )
+            for (komi, mv, w, result_str), res in zip(chunk, results):
+                if res is None:
+                    continue
+                history, score = res
+                valid_games += 1
+                if not re.search(r"\+R", result_str, re.IGNORECASE):
+                    builder.check_mismatch_score(score, result_str)
+                for s, p, v in history:
+                    states.append(s)
+                    target_pi.append(p)
+                    target_v.append(v)
+        files = []  # handled above
+    else:
+        files = get_sgf_files(games_dir)
+
+    for sgf_file in files:
         history = builder.replay_sgf(sgf_file)
         if history is None:
             continue

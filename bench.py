@@ -26,7 +26,7 @@ BASELINE_ENV_STEPS_PER_S = 418.0  # logs/go/9x9/run.log fleet throughput
 
 
 def main() -> None:
-    batch = int(os.environ.get("BENCH_BATCH", "512"))
+    batch = int(os.environ.get("BENCH_BATCH", "1024"))
     num_sims = int(os.environ.get("BENCH_SIMS", "200"))
     warmup_steps = int(os.environ.get("BENCH_WARMUP", "2"))
     timed_steps = int(os.environ.get("BENCH_STEPS", "8"))
