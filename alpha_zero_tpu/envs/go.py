@@ -126,9 +126,9 @@ class GoEngine:
             captures=jnp.zeros((2,), jnp.int32),
             resigned=jnp.bool_(False),
             final_score=jnp.float32(0.0),
-            labels=jnp.full((n, n), sent, jnp.int32),
-            group_libs=jnp.zeros((sent + 1,), jnp.int32),
-            legal=jnp.ones((self.num_actions,), jnp.bool_),
+            labels=jnp.full((n, n), float(sent), jnp.float32),
+            group_libs=jnp.zeros((sent + 1,), jnp.float32),
+            legal=jnp.ones((self.num_actions,), jnp.float32),
         )
         return state
 
@@ -192,11 +192,11 @@ class GoEngine:
         labels, _, _ = jax.lax.while_loop(
             cond, body, (first, jnp.any(first != labels), jnp.int32(0))
         )
-        return labels.astype(jnp.int32)
+        return labels  # f32 (exact small integers)
 
     def label_groups(self, board: jnp.ndarray) -> jnp.ndarray:
         """Group labels for stones (both colors at once; same-color
-        connectivity). int32[N, N]; N*N for empty cells."""
+        connectivity). f32[N, N] exact integers; N*N for empty cells."""
         active = board != EMPTY
         same = []
         for dr, dc in _DIRS:
@@ -206,7 +206,7 @@ class GoEngine:
 
     def group_liberties(self, board: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
         """Liberty count per group root: the number of *distinct* empty points
-        adjacent to each group (go_engine.py:178). int32[N*N + 1]; the last
+        adjacent to each group (go_engine.py:178). f32[N*N + 1]; the last
         slot is a scatter dump for invalid contributions."""
         n = self.board_size
         sent = n * n
@@ -225,7 +225,7 @@ class GoEngine:
                 valid.reshape(-1).astype(jnp.float32), target, sent + 1
             )
             seen.append(nb_label)
-        return counts.astype(jnp.int32)
+        return counts  # f32 counts
 
     def _compute_legal(self, board, labels, counts, ko, to_play, done) -> jnp.ndarray:
         """Vectorized all-points legality (go_engine.py:417-441)."""
@@ -235,7 +235,7 @@ class GoEngine:
         has_empty_nb = jnp.zeros_like(empty)
         friendly_alive = jnp.zeros_like(empty)
         captures_sth = jnp.zeros_like(empty)
-        counts_f = counts.astype(jnp.float32)
+        counts_f = counts
         for dr, dc in _DIRS:
             nb_board = _shift(board, dr, dc, _WALL)
             nb_label = _shift(labels, dr, dc, sent)
@@ -247,7 +247,9 @@ class GoEngine:
         not_suicide = has_empty_nb | friendly_alive | captures_sth
         idx = jnp.arange(sent, dtype=jnp.int32).reshape(n, n)
         playable = empty & not_suicide & (idx != ko)
-        legal = jnp.concatenate([playable.reshape(-1), jnp.ones((1,), jnp.bool_)])
+        legal = jnp.concatenate(
+            [playable.reshape(-1).astype(jnp.float32), jnp.ones((1,), jnp.float32)]
+        )
         return jnp.where(done, jnp.zeros_like(legal), legal)
 
     def analyze(self, state: GameState) -> GameState:
@@ -260,7 +262,7 @@ class GoEngine:
         return state.replace(labels=labels, group_libs=counts, legal=legal)
 
     def legal_actions(self, state: GameState) -> jnp.ndarray:
-        """bool[N*N + 1] legal-move mask — precomputed by init/step."""
+        """f32[N*N + 1] legal-move mask (0/1) — precomputed by init/step."""
         return state.legal
 
     # -----------------------------------------------------------------------
@@ -359,9 +361,8 @@ class GoEngine:
         # is the played point).
         captured = jnp.zeros((n, n), jnp.bool_)
         for val, lab in zip(nb_vals, nb_labels):
-            dies = is_board_move & (val == -color) & (
-                state.group_libs[jnp.clip(lab, 0, sent)] == 1
-            )
+            lab_idx = jnp.clip(lab, 0, sent).astype(jnp.int32)
+            dies = is_board_move & (val == -color) & (state.group_libs[lab_idx] == 1)
             captured |= dies & (state.labels == lab)
         num_captured = jnp.sum(captured, dtype=jnp.int32)
 

@@ -69,9 +69,9 @@ class GomokuEngine:
             resigned=jnp.bool_(False),
             final_score=jnp.float32(0.0),
             # Gomoku needs no group analysis; keep minimal dummies.
-            labels=jnp.zeros((1, 1), jnp.int32),
-            group_libs=jnp.zeros((1,), jnp.int32),
-            legal=jnp.ones((self.num_actions,), jnp.bool_),
+            labels=jnp.zeros((1, 1), jnp.float32),
+            group_libs=jnp.zeros((1,), jnp.float32),
+            legal=jnp.ones((self.num_actions,), jnp.float32),
         )
 
     def init_batch(self, batch_size: int) -> GameState:
@@ -86,7 +86,7 @@ class GomokuEngine:
 
     def analyze(self, state: GameState) -> GameState:
         """Recomputes the cached legal mask (for hand-built states)."""
-        legal = (state.board == EMPTY).reshape(-1)
+        legal = (state.board == EMPTY).reshape(-1).astype(jnp.float32)
         legal = jnp.where(state.done, jnp.zeros_like(legal), legal)
         return state.replace(legal=legal)
 
@@ -120,7 +120,7 @@ class GomokuEngine:
         # Reward for the mover (gomoku.py:72-77): win 1.0, else 0 (draws give 0).
         reward = jnp.where(won, 1.0, 0.0).astype(jnp.float32)
         history = jnp.concatenate([board[None], state.history[:-1]], axis=0)
-        legal = (board == EMPTY).reshape(-1) & ~done
+        legal = ((board == EMPTY).reshape(-1) & ~done).astype(jnp.float32)
 
         new_state = state.replace(
             board=board,

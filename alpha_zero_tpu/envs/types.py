@@ -53,10 +53,13 @@ class GameState:
     final_score: jnp.ndarray  # float32 scalar; black-perspective score at end
     #                           (komi applied), 0 until the game completes
     # --- cached position analysis (computed by init/step; Go keeps real
-    #     group data, Gomoku keeps minimal dummies) ---
-    labels: jnp.ndarray       # int32[N, N] group labels (N*N = empty); Go
-    group_libs: jnp.ndarray   # int32[N*N+1] liberty count per group root; Go
-    legal: jnp.ndarray        # bool[num_actions] legal-move mask
+    #     group data, Gomoku keeps minimal dummies). Stored as f32 (exact
+    #     small integers / 0-1 flags): the search gathers these per node with
+    #     one-hot matmuls, and float-native storage avoids whole-array dtype
+    #     conversions inside the simulation loop. ---
+    labels: jnp.ndarray       # f32[N, N] group labels (N*N = empty); Go
+    group_libs: jnp.ndarray   # f32[N*N+1] liberty count per group root; Go
+    legal: jnp.ndarray        # f32[num_actions] legal-move mask (0.0/1.0)
 
 
 @functools.lru_cache(maxsize=None)

@@ -270,7 +270,8 @@ def replay_games_batched(board_size: int, num_stack: int, games,
         mv = move_arr[:, j]
         active = j < lengths
         # Reference filters: illegal move or out-of-turn (handicap) game.
-        ok &= ~active | (legal[np.arange(num_games), mv] & (to_play == color_arr[:, j]))
+        legal_here = legal[np.arange(num_games), mv] > 0.5  # legal is f32 0/1
+        ok &= ~active | (legal_here & (to_play == color_arr[:, j]))
         all_obs.append(np.asarray(obs_batch(states)))
         # Inactive games step a pass (harmless; those rows are masked).
         states = step_batch(states, jnp.asarray(mv))

@@ -64,11 +64,13 @@ class Tree:
     node_N: jnp.ndarray          # f32[T] visits of the edge into each node
     node_W: jnp.ndarray          # f32[T] value sum (node-player perspective)
     child_P: jnp.ndarray         # f32[T, A] child priors per node
-    children_index: jnp.ndarray  # i32[T, A]; node id of child, -1 unmaterialized
+    children_index: jnp.ndarray  # f32[T, A]; node id of child, -1 unmaterialized
+    #                              (float-native: exact small ints, avoids
+    #                               whole-array converts in the select loop)
     parent_index: jnp.ndarray    # i32[T]; -1 for root (introspection/tests)
     action_from_parent: jnp.ndarray  # i32[T]
     node_expanded: jnp.ndarray   # bool[T]; has priors (terminal nodes never do)
-    node_done: jnp.ndarray       # bool[T]; game over at this node
+    node_done: jnp.ndarray       # f32[T]; 1.0 when game over at this node
     node_reward: jnp.ndarray     # f32[T]; reward emitted by the creating step
     states: GameState            # stacked [T, ...] game states
 
@@ -111,13 +113,27 @@ def _gather_by_index_vector(vec: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def _gather_state(states: GameState, idx: jnp.ndarray, capacity: int) -> GameState:
-    """states[idx] via one-hot matmuls (exact for small-int payloads)."""
-    oh = _oh(idx, capacity)
+    """states[idx] via one-hot matmuls (exact for small-int payloads).
+
+    int8 leaves (board, history — the bulk of the state) use an s8 x s8 MXU
+    product so the big buffers are never converted to f32; float leaves
+    multiply directly. Only tiny scalar-per-node leaves pay a convert.
+    """
+    oh_f = _oh(idx, capacity)
+    oh_s8 = oh_f.astype(jnp.int8)
 
     def g(leaf):
-        flat = leaf.reshape(capacity, -1).astype(jnp.float32)
-        out = oh @ flat
-        return out.reshape(leaf.shape[1:]).astype(leaf.dtype)
+        flat = leaf.reshape(capacity, -1)
+        if leaf.dtype == jnp.int8:
+            out = jax.lax.dot_general(
+                oh_s8, flat, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.int8)
+        elif leaf.dtype == jnp.float32:
+            out = oh_f @ flat
+        else:
+            out = (oh_f @ flat.astype(jnp.float32)).astype(leaf.dtype)
+        return out.reshape(leaf.shape[1:])
 
     return jax.tree.map(g, states)
 
@@ -138,11 +154,11 @@ def _make_tree(root_state: GameState, prior: jnp.ndarray, value: jnp.ndarray,
         node_N=jnp.zeros((capacity,), jnp.float32).at[0].set(1.0),
         node_W=jnp.zeros((capacity,), jnp.float32).at[0].set(value),
         child_P=jnp.zeros((capacity, num_actions), jnp.float32).at[0].set(prior),
-        children_index=jnp.full((capacity, num_actions), -1, jnp.int32),
+        children_index=jnp.full((capacity, num_actions), -1.0, jnp.float32),
         parent_index=jnp.full((capacity,), -1, jnp.int32),
         action_from_parent=jnp.full((capacity,), -1, jnp.int32),
         node_expanded=jnp.zeros((capacity,), jnp.bool_).at[0].set(True),
-        node_done=jnp.zeros((capacity,), jnp.bool_),
+        node_done=jnp.zeros((capacity,), jnp.float32),
         node_reward=jnp.zeros((capacity,), jnp.float32),
         states=states,
     )
@@ -184,10 +200,9 @@ def _select_leaf(tree: Tree, path_cap: int, c_puct_base: float,
     def body(carry):
         cur, n_cur, _, _, _, depth, even, odd = carry
         # PUCT over cur's children (mcts_v2.py:99-109, 142-186).
-        ci_row_f = _row(tree.children_index.astype(jnp.float32), cur)
-        ci_row = ci_row_f.astype(jnp.int32)
+        ci_row = _row(tree.children_index, cur)  # f32 child ids, -1 = none
         p_row = _row(tree.child_P, cur)
-        legal_row = _row(tree.states.legal.astype(jnp.float32), cur) > 0.5
+        legal_row = _row(tree.states.legal, cur) > 0.5
         c_n = jnp.where(ci_row >= 0, _gather_by_index_vector(tree.node_N, ci_row), 0.0)
         c_w = jnp.where(ci_row >= 0, _gather_by_index_vector(tree.node_W, ci_row), 0.0)
 
@@ -197,9 +212,9 @@ def _select_leaf(tree: Tree, path_cap: int, c_puct_base: float,
         scores = jnp.where(legal_row, -q + u, -9999.0)
         action = jnp.argmax(scores).astype(jnp.int32)
 
-        child = (_oh(action, scores.shape[0]) @ ci_row_f).astype(jnp.int32)
+        child = (_oh(action, scores.shape[0]) @ ci_row).astype(jnp.int32)
         is_new = child < 0
-        is_term = ~is_new & (_elem(tree.node_done.astype(jnp.float32),
+        is_term = ~is_new & (_elem(tree.node_done,
                                    jnp.clip(child, 0, capacity - 1)) > 0.5)
         stop = is_new | is_term
         # Record cur at this depth into the parity accumulators (dense add).
@@ -267,13 +282,15 @@ def _materialize(tree: Tree, slot: jnp.ndarray, parent: jnp.ndarray,
     # Link parent -> slot via a one-hot outer-product blend (per-lane (row,
     # col) scatter would serialize).
     link = (_oh(parent, capacity)[:, None] * _oh(action, num_actions)[None, :]) > 0.5
-    children_index = jnp.where(link & is_new, slot, tree.children_index)
+    children_index = jnp.where(
+        link & is_new, jnp.float32(slot), tree.children_index
+    )
 
     tree = tree.replace(
         states=states,
         parent_index=tree.parent_index.at[slot].set(parent),
         action_from_parent=tree.action_from_parent.at[slot].set(action),
-        node_done=tree.node_done.at[slot].set(new_state.done),
+        node_done=tree.node_done.at[slot].set(new_state.done.astype(jnp.float32)),
         node_reward=tree.node_reward.at[slot].set(new_state.last_reward),
         node_N=tree.node_N.at[slot].set(0.0),
         node_W=tree.node_W.at[slot].set(0.0),
@@ -376,7 +393,7 @@ def batched_search(
 
     # Root child stats: visits/values of the root's children, action-indexed
     # (one plain gather outside the hot loop is fine).
-    root_children = trees.children_index[:, 0, :]
+    root_children = trees.children_index[:, 0, :].astype(jnp.int32)
     safe = jnp.clip(root_children, 0, capacity - 1)
     child_n = jnp.where(
         root_children >= 0, jnp.take_along_axis(trees.node_N, safe, axis=1), 0.0
