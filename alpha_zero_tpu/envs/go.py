@@ -58,18 +58,20 @@ def _onehot_gather(values: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """``values[idx]`` as a one-hot matmul — native TPU gathers serialize on
     small arrays, while an [M, S] x [S] one-hot product rides the MXU/VPU.
 
-    values: f32[S]; idx: int[M] in [0, S). Returns f32[M]. Exact for integer
-    payloads < 2^24.
+    values: f32[S]; idx: int-valued (any dtype) [M] in [0, S). Returns
+    f32[M]. Exact for integer payloads < 2^24.
     """
     s = values.shape[0]
-    oh = jax.nn.one_hot(idx, s, dtype=jnp.float32)
+    iota = jnp.arange(s, dtype=jnp.float32)
+    oh = (idx.astype(jnp.float32)[:, None] == iota[None, :]).astype(jnp.float32)
     return oh @ values
 
 
 def _onehot_scatter_add(contrib: jnp.ndarray, idx: jnp.ndarray, size: int) -> jnp.ndarray:
     """``zeros(size).at[idx].add(contrib)`` as a one-hot matmul (transpose
-    of the gather trick). contrib: f32[M]; idx: int[M] in [0, size)."""
-    oh = jax.nn.one_hot(idx, size, dtype=jnp.float32)
+    of the gather trick). contrib: f32[M]; idx: int-valued [M] in [0, size)."""
+    iota = jnp.arange(size, dtype=jnp.float32)
+    oh = (idx.astype(jnp.float32)[:, None] == iota[None, :]).astype(jnp.float32)
     return contrib @ oh
 
 
