@@ -467,17 +467,29 @@ class GoEngine:
     # -----------------------------------------------------------------------
     # Observation
     # -----------------------------------------------------------------------
-    def observation(self, state: GameState) -> jnp.ndarray:
-        """Stacked feature planes, channel-last int8[N, N, 2*num_stack+1].
+    def with_num_stack(self, num_stack: int) -> "GoEngine":
+        """Same rules, different history depth (the search stores 1-deep
+        states and rebuilds observation stacks from ancestor boards)."""
+        return GoEngine(board_size=self.board_size, num_stack=num_stack,
+                        komi=self.komi, max_steps=self.max_steps)
+
+    @staticmethod
+    def observation_from(history: jnp.ndarray, to_play: jnp.ndarray) -> jnp.ndarray:
+        """Stacked feature planes from an explicit [S, N, N] board history
+        (latest first), channel-last int8[N, N, 2*S+1].
 
         Plane order [Xt, Yt, Xt-1, Yt-1, ..., C] exactly as the reference
         (``BoardGameEnv.observation`` base.py:228-259); channel-last NHWC is
         the TPU-native layout (transpose to NCHW for parity checks).
         """
-        hist = state.history
-        cur = hist == state.to_play
-        opp = hist == -state.to_play
-        planes = jnp.stack([cur, opp], axis=1).reshape(2 * self.num_stack, *hist.shape[1:])
-        color = jnp.full((1,) + hist.shape[1:], state.to_play == BLACK)
+        s = history.shape[0]
+        cur = history == to_play
+        opp = history == -to_play
+        planes = jnp.stack([cur, opp], axis=1).reshape(2 * s, *history.shape[1:])
+        color = jnp.full((1,) + history.shape[1:], to_play == BLACK)
         obs = jnp.concatenate([planes, color], axis=0).astype(jnp.int8)
         return jnp.transpose(obs, (1, 2, 0))
+
+    def observation(self, state: GameState) -> jnp.ndarray:
+        """Observation from the state's own rolled history."""
+        return self.observation_from(state.history, state.to_play)

@@ -142,12 +142,20 @@ class GomokuEngine:
         return jax.vmap(self.step)(states, actions)
 
     # -----------------------------------------------------------------------
-    def observation(self, state: GameState) -> jnp.ndarray:
+    def with_num_stack(self, num_stack: int) -> "GomokuEngine":
+        return GomokuEngine(board_size=self.board_size, num_stack=num_stack,
+                            num_to_win=self.num_to_win, max_steps=self.max_steps)
+
+    @staticmethod
+    def observation_from(history: jnp.ndarray, to_play: jnp.ndarray) -> jnp.ndarray:
         """Same stacked-plane layout as Go (base.py:228-259), NHWC int8."""
-        hist = state.history
-        cur = hist == state.to_play
-        opp = hist == -state.to_play
-        planes = jnp.stack([cur, opp], axis=1).reshape(2 * self.num_stack, *hist.shape[1:])
-        color = jnp.full((1,) + hist.shape[1:], state.to_play == BLACK)
+        s = history.shape[0]
+        cur = history == to_play
+        opp = history == -to_play
+        planes = jnp.stack([cur, opp], axis=1).reshape(2 * s, *history.shape[1:])
+        color = jnp.full((1,) + history.shape[1:], to_play == BLACK)
         obs = jnp.concatenate([planes, color], axis=0).astype(jnp.int8)
         return jnp.transpose(obs, (1, 2, 0))
+
+    def observation(self, state: GameState) -> jnp.ndarray:
+        return self.observation_from(state.history, state.to_play)

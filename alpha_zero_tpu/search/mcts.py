@@ -67,12 +67,16 @@ class Tree:
     children_index: jnp.ndarray  # f32[T, A]; node id of child, -1 unmaterialized
     #                              (float-native: exact small ints, avoids
     #                               whole-array converts in the select loop)
-    parent_index: jnp.ndarray    # i32[T]; -1 for root (introspection/tests)
-    action_from_parent: jnp.ndarray  # i32[T]
+    parent_index: jnp.ndarray    # f32[T]; -1 for root (float-native index)
+    action_from_parent: jnp.ndarray  # f32[T]
     node_expanded: jnp.ndarray   # bool[T]; has priors (terminal nodes never do)
     node_done: jnp.ndarray       # f32[T]; 1.0 when game over at this node
     node_reward: jnp.ndarray     # f32[T]; reward emitted by the creating step
-    states: GameState            # stacked [T, ...] game states
+    states: GameState            # stacked [T, ...] game states (1-deep history:
+    #                              observation stacks are rebuilt from ancestor
+    #                              boards + root_history, so per-node history
+    #                              would be redundant traffic)
+    root_history: jnp.ndarray    # s8[S, N, N]; the root's pre-search history
 
 
 class SearchResult(NamedTuple):
@@ -138,12 +142,48 @@ def _gather_state(states: GameState, idx: jnp.ndarray, capacity: int) -> GameSta
     return jax.tree.map(g, states)
 
 
+def _leaf_history(tree: Tree, parent: jnp.ndarray, depth: jnp.ndarray,
+                  new_board: jnp.ndarray, num_stack: int) -> jnp.ndarray:
+    """Rebuilds the leaf's [S, N, N] board history (latest first) from the
+    tree: plane 0 is the leaf's own board; planes 1..S-1 come from ancestor
+    boards (walked via parent pointers) while they exist, then from the
+    root's pre-search history. All fetches are one-hot matvecs.
+
+    The leaf sits at depth ``depth``; ancestor hop k reaches depth-k, so
+    plane k uses the tree for k <= depth and root_history[k - depth] beyond.
+    """
+    if num_stack == 1:
+        return new_board[None]
+    capacity = tree.node_N.shape[0]
+    n = new_board.shape[-1]
+    boards_f = tree.states.board.reshape(capacity, -1).astype(jnp.float32)
+    s_iota = jnp.arange(num_stack, dtype=jnp.float32)
+
+    planes = [new_board]
+    walk = parent.astype(jnp.float32)
+    for k in range(1, num_stack):
+        from_tree = (
+            (_oh(walk.astype(jnp.int32), capacity) @ boards_f)
+            .reshape(n, n).astype(jnp.int8)
+        )
+        rh_idx = jnp.clip(k - depth, 0, num_stack - 1).astype(jnp.float32)
+        oh_s = (s_iota == rh_idx).astype(jnp.float32)
+        from_root = (
+            (oh_s @ tree.root_history.reshape(num_stack, -1).astype(jnp.float32))
+            .reshape(n, n).astype(jnp.int8)
+        )
+        planes.append(jnp.where(k <= depth, from_tree, from_root))
+        walk = _elem(tree.parent_index, walk.astype(jnp.int32))
+    return jnp.stack(planes)
+
+
 # ---------------------------------------------------------------------------
 # Tree construction
 # ---------------------------------------------------------------------------
 
 
-def _make_tree(root_state: GameState, prior: jnp.ndarray, value: jnp.ndarray,
+def _make_tree(root_state: GameState, root_history: jnp.ndarray,
+               prior: jnp.ndarray, value: jnp.ndarray,
                capacity: int, num_actions: int) -> Tree:
     """Root node expanded with ``prior`` and backed up with ``value``
     (mcts_v2.py:363-368: expand + backup give the fresh root N=1, W=v)."""
@@ -155,12 +195,13 @@ def _make_tree(root_state: GameState, prior: jnp.ndarray, value: jnp.ndarray,
         node_W=jnp.zeros((capacity,), jnp.float32).at[0].set(value),
         child_P=jnp.zeros((capacity, num_actions), jnp.float32).at[0].set(prior),
         children_index=jnp.full((capacity, num_actions), -1.0, jnp.float32),
-        parent_index=jnp.full((capacity,), -1, jnp.int32),
-        action_from_parent=jnp.full((capacity,), -1, jnp.int32),
+        parent_index=jnp.full((capacity,), -1.0, jnp.float32),
+        action_from_parent=jnp.full((capacity,), -1.0, jnp.float32),
         node_expanded=jnp.zeros((capacity,), jnp.bool_).at[0].set(True),
         node_done=jnp.zeros((capacity,), jnp.float32),
         node_reward=jnp.zeros((capacity,), jnp.float32),
         states=states,
+        root_history=root_history,
     )
 
 
@@ -288,8 +329,10 @@ def _materialize(tree: Tree, slot: jnp.ndarray, parent: jnp.ndarray,
 
     tree = tree.replace(
         states=states,
-        parent_index=tree.parent_index.at[slot].set(parent),
-        action_from_parent=tree.action_from_parent.at[slot].set(action),
+        parent_index=tree.parent_index.at[slot].set(parent.astype(jnp.float32)),
+        action_from_parent=tree.action_from_parent.at[slot].set(
+            action.astype(jnp.float32)
+        ),
         node_done=tree.node_done.at[slot].set(new_state.done.astype(jnp.float32)),
         node_reward=tree.node_reward.at[slot].set(new_state.last_reward),
         node_N=tree.node_N.at[slot].set(0.0),
@@ -355,12 +398,18 @@ def batched_search(
     capacity = num_simulations + 1
     # A path can't outgrow the tree depth nor the game length.
     path_cap = min(num_simulations + 1, engine.max_steps + 2)
+    num_stack = engine.num_stack
 
     obs0 = jax.vmap(engine.observation)(root_states)
     prior0, value0 = eval_fn(obs0)
+    # Tree nodes carry 1-deep history (just their board); observation stacks
+    # are rebuilt from ancestor boards + the root's pre-search history, so
+    # per-node history arrays would be pure redundant HBM traffic.
+    tree_engine = engine.with_num_stack(1)
+    root_trimmed = root_states.replace(history=root_states.history[:, :1])
     trees = jax.vmap(
         functools.partial(_make_tree, capacity=capacity, num_actions=engine.num_actions)
-    )(root_states, prior0, value0)
+    )(root_trimmed, root_states.history, prior0, value0)
     if root_noise:
         batch = value0.shape[0]
         noise_rngs = jax.random.split(rng, batch)
@@ -376,15 +425,20 @@ def batched_search(
     materialize = jax.vmap(_materialize, in_axes=(0, None, 0, 0, 0, 0, 0))
     expand_backup = jax.vmap(_expand_backup, in_axes=(0, None, 0, 0, 0, 0, 0, 0, 0))
 
+    leaf_hist = jax.vmap(
+        functools.partial(_leaf_history, num_stack=num_stack)
+    )
+
     def sim_body(i, trees):
         slot = i + 1  # lockstep slot allocation (batch-uniform index)
         parent, action, child, hit_term, even, odd, depth = select(trees)
         parent_states = gather_state(trees.states, parent)
-        new_states = engine.step_batch(parent_states, action)
+        new_states = tree_engine.step_batch(parent_states, action)
         trees, leaf, needs_eval = materialize(
             trees, slot, parent, action, child, hit_term, new_states
         )
-        obs = jax.vmap(engine.observation)(new_states)
+        history = leaf_hist(trees, parent, depth, new_states.board)
+        obs = jax.vmap(engine.observation_from)(history, new_states.to_play)
         prior, value = eval_fn(obs)
         return expand_backup(trees, slot, leaf, needs_eval, even, odd, depth,
                              prior, value)
