@@ -396,8 +396,29 @@ class GoEngine:
         winner = jnp.where(is_resign, (-color).astype(jnp.int8), jnp.int8(0))
         reward = jnp.where(is_resign, -1.0, 0.0).astype(jnp.float32)
 
-        # --- new position analysis (the single labeling pass of this step).
-        labels = self.label_groups(new_board)
+        # --- new position analysis: labels are updated INCREMENTALLY (exact).
+        # Placing a stone can only (a) create/merge friendly groups through
+        # the played point and (b) delete captured opponent groups; no other
+        # group's membership changes. Labels are min-flat-index per group, so
+        # the merged group's label is min(point, adjacent friendly labels) —
+        # the same fixed point full relabeling reaches, at O(1) cost instead
+        # of O(log N^2) propagation sweeps (the reference's incremental
+        # LibertyTracker.add_stone, go_engine.py:217-262, batched).
+        friendly = [
+            jnp.where(val == color, lab, float(sent)).astype(jnp.float32)
+            for val, lab in zip(nb_vals, nb_labels)
+        ]
+        merged = functools.reduce(jnp.minimum, friendly, a.astype(jnp.float32))
+        absorbed = functools.reduce(
+            jnp.logical_or,
+            [(state.labels == f) & (f < sent) for f in friendly],
+        )
+        point_oh = (
+            jnp.arange(sent, dtype=jnp.int32).reshape(n, n) == a
+        )
+        labels = jnp.where(absorbed | point_oh, merged, state.labels)
+        labels = jnp.where(captured, float(sent), labels)
+        labels = jnp.where(is_board_move, labels, state.labels)
         counts = self.group_liberties(new_board, labels)
         legal = self._compute_legal(new_board, labels, counts, new_ko,
                                     (-color).astype(jnp.int8), done)
