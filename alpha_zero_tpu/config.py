@@ -64,6 +64,19 @@ class SearchConfig:
     dirichlet_eps: float = 0.25
     dirichlet_alpha: float = 0.03
     warm_up_steps: int = 16
+    # Temperatures for the visit-count policy (mcts_v2.py:265-298): the
+    # effective exponent is clip(1/temp, 1, 5), so the reference defaults
+    # (1.0 warm-up / 0.1 after) give exponents 1 and 5.
+    warm_up_temperature: float = 1.0
+    temperature: float = 0.1
+    # Subtree reuse across moves (mcts_v2.py:643-653): promote the chosen
+    # child's subtree to the root so carried visits count against the next
+    # move's budget. ``max_new_sims`` caps the per-move simulation-loop
+    # length (None = num_simulations - 1, enough for a fresh tree); with
+    # reuse on, values below that trade worst-case budget completion for
+    # wall-clock — the throughput lever reuse buys.
+    reuse_subtree: bool = False
+    max_new_sims: Optional[int] = None
     # Deviation from the reference's virtual-loss tree parallelism
     # (mcts_v2.py:568-625): the whole game batch advances synchronously, one
     # leaf per game per simulation, so virtual loss is unnecessary — NN eval
@@ -100,6 +113,10 @@ class TrainConfig:
     ckpt_interval: int = 1000
     log_interval: int = 200
     save_replay_interval: int = 0
+    # Reference-exact generation fence (pipeline.py:492-493): discard games
+    # that were in flight when the weights switched. Default keeps them —
+    # their pre-switch transitions enter replay (see pipeline.py docstring).
+    drop_straddling_games: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -123,9 +140,15 @@ class ParallelConfig:
     device; multi-chip scale-out shards games and the train batch over 'dp'
     and optionally the model over 'mdl'."""
 
-    selfplay_batch_size: int = 1024
+    selfplay_batch_size: int = 1024  # games per HOST (multi-host: global = x processes)
     dp: int = 1  # data-parallel mesh axis (games + train batch sharded)
     mdl: int = 1  # model-parallel mesh axis (wide layers sharded)
+    # Multi-host (jax.distributed): set the coordinator on every process to
+    # form one global ('dp', 'mdl') mesh over all hosts' devices — replaces
+    # the reference's single-machine mp.Process fleet (training_go.py:276-347).
+    coordinator_address: str = ""  # "" = single host
+    num_processes: int = 0         # 0 = from the coordinator
+    process_id: int = -1           # -1 = auto
 
 
 @dataclasses.dataclass(frozen=True)

@@ -20,10 +20,11 @@ Layout choices are driven by what runs fast on TPU:
   visited nodes at uniform depth indices (fast dynamic-update-slice under
   vmap); backup folds the whole sign-alternating path update
   (mcts_v2.py:213-232) into one one-hot matrix product.
-- **lockstep slot allocation**: simulation ``i`` always materializes into
-  slot ``i+1`` (a batch-uniform index), wasting the slot when selection hit
-  an existing terminal node — uniform-index writes are dynamic-update-slices,
-  per-lane writes would be scatters.
+- **per-lane slot allocation via one-hot blends**: simulation writes land at
+  each game's own next free slot (``num_nodes``) as dense masked blends over
+  the [T]-indexed arrays — vectorized elementwise work, no scatters. A slot is
+  only consumed when a new node actually materializes (selection that hits an
+  existing terminal node allocates nothing).
 - one neural-net evaluation per simulation, batched over all games. This
   replaces the reference's virtual-loss tree parallelism (mcts_v2.py:453-482,
   :568-625): the whole batch advances synchronously, one leaf per game per
@@ -35,16 +36,22 @@ exactly: PUCT with sign-flipped child Q, terminal-state backup with the true
 reward, Dirichlet root noise, temperature with the [1, 5] exponent clamp —
 verified visit-for-visit against the reference in tests.
 
-Subtree reuse across moves (mcts_v2.py:643-653) is intentionally not
-implemented: each move starts a fresh tree (documented deviation; the
-reference's reuse re-roots a Python object graph, which has no cheap
-fixed-shape equivalent — measured Elo impact is the criterion for revisiting).
+**Subtree reuse across moves** (mcts_v2.py:643-653) is supported: after a move
+the chosen child's subtree is promoted to the root by compacting its nodes
+into the low slots (`reroot_trees`). Slot ids are allocated in creation order,
+so every node's index exceeds its parent's and a stable compaction lands the
+new root at slot 0 automatically. The next search then continues the
+reference's ``while root.N < num_simulations`` budget: lanes whose reused root
+already carries visits run fewer *real* simulations (the remaining loop
+iterations are masked no-ops). With ``max_new_sims`` below the full budget the
+simulation loop itself shortens — the throughput lever reuse buys — at the
+cost of lanes with little reuse not reaching the full budget.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -57,8 +64,9 @@ from alpha_zero_tpu.envs.types import GameState
 class Tree:
     """Fixed-capacity search tree for ONE game (batch via leading vmap dim).
 
-    T = num_simulations + 1 node slots; node 0 is the root; simulation i
-    materializes into slot i + 1.
+    T = num_simulations + 1 node slots; node 0 is the root; new nodes fill
+    slots in creation order (``num_nodes`` is the next free slot), so parents
+    always precede children — the invariant subtree re-rooting relies on.
     """
 
     node_N: jnp.ndarray          # f32[T] visits of the edge into each node
@@ -77,6 +85,7 @@ class Tree:
     #                              boards + root_history, so per-node history
     #                              would be redundant traffic)
     root_history: jnp.ndarray    # s8[S, N, N]; the root's pre-search history
+    num_nodes: jnp.ndarray       # f32 scalar; next free slot (nodes in use)
 
 
 class SearchResult(NamedTuple):
@@ -116,30 +125,39 @@ def _gather_by_index_vector(vec: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return oh @ vec
 
 
-def _gather_state(states: GameState, idx: jnp.ndarray, capacity: int) -> GameState:
-    """states[idx] via one-hot matmuls (exact for small-int payloads).
+def _matmul_state(states: GameState, m_f: jnp.ndarray, capacity: int,
+                  out_rows: Optional[int] = None) -> GameState:
+    """Applies a {0,1} row-selection matrix ``m_f [R, T]`` to every [T, ...]
+    leaf of ``states`` via matmuls (exact for small-int payloads).
 
     int8 leaves (board, history — the bulk of the state) use an s8 x s8 MXU
     product so the big buffers are never converted to f32; float leaves
     multiply directly. Only tiny scalar-per-node leaves pay a convert.
     """
-    oh_f = _oh(idx, capacity)
-    oh_s8 = oh_f.astype(jnp.int8)
+    m_s8 = m_f.astype(jnp.int8)
+    rows = m_f.shape[0] if out_rows is None else out_rows
 
     def g(leaf):
         flat = leaf.reshape(capacity, -1)
         if leaf.dtype == jnp.int8:
             out = jax.lax.dot_general(
-                oh_s8, flat, (((0,), (0,)), ((), ())),
+                m_s8, flat, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             ).astype(jnp.int8)
         elif leaf.dtype == jnp.float32:
-            out = oh_f @ flat
+            out = m_f @ flat
         else:
-            out = (oh_f @ flat.astype(jnp.float32)).astype(leaf.dtype)
-        return out.reshape(leaf.shape[1:])
+            out = (m_f @ flat.astype(jnp.float32)).astype(leaf.dtype)
+        return out.reshape((rows,) + leaf.shape[1:])
 
     return jax.tree.map(g, states)
+
+
+def _gather_state(states: GameState, idx: jnp.ndarray, capacity: int) -> GameState:
+    """states[idx] via one-hot matmuls (exact for small-int payloads)."""
+    oh = _oh(idx, capacity)
+    out = _matmul_state(states, oh[None, :], capacity)
+    return jax.tree.map(lambda leaf: leaf.reshape(leaf.shape[1:]), out)
 
 
 def _leaf_history(tree: Tree, parent: jnp.ndarray, depth: jnp.ndarray,
@@ -182,32 +200,59 @@ def _leaf_history(tree: Tree, parent: jnp.ndarray, depth: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _make_tree(root_state: GameState, root_history: jnp.ndarray,
-               prior: jnp.ndarray, value: jnp.ndarray,
-               capacity: int, num_actions: int) -> Tree:
-    """Root node expanded with ``prior`` and backed up with ``value``
-    (mcts_v2.py:363-368: expand + backup give the fresh root N=1, W=v)."""
+def _make_empty_tree(root_state: GameState, root_history: jnp.ndarray,
+                     capacity: int, num_actions: int) -> Tree:
+    """A tree holding only an UNEXPANDED root; ``_init_root`` applies the
+    root's NN evaluation at search start (mcts_v2.py:363-368)."""
     states = jax.tree.map(
         lambda x: jnp.broadcast_to(x, (capacity,) + x.shape), root_state
     )
     return Tree(
-        node_N=jnp.zeros((capacity,), jnp.float32).at[0].set(1.0),
-        node_W=jnp.zeros((capacity,), jnp.float32).at[0].set(value),
-        child_P=jnp.zeros((capacity, num_actions), jnp.float32).at[0].set(prior),
+        node_N=jnp.zeros((capacity,), jnp.float32),
+        node_W=jnp.zeros((capacity,), jnp.float32),
+        child_P=jnp.zeros((capacity, num_actions), jnp.float32),
         children_index=jnp.full((capacity, num_actions), -1.0, jnp.float32),
         parent_index=jnp.full((capacity,), -1.0, jnp.float32),
         action_from_parent=jnp.full((capacity,), -1.0, jnp.float32),
-        node_expanded=jnp.zeros((capacity,), jnp.bool_).at[0].set(True),
+        node_expanded=jnp.zeros((capacity,), jnp.bool_),
         node_done=jnp.zeros((capacity,), jnp.float32),
         node_reward=jnp.zeros((capacity,), jnp.float32),
         states=states,
         root_history=root_history,
+        num_nodes=jnp.float32(1.0),
+    )
+
+
+def make_empty_trees(engine, root_states: GameState, num_simulations: int) -> Tree:
+    """Batched fresh trees for ``root_states`` (used to seed subtree reuse)."""
+    capacity = num_simulations + 1
+    trimmed = root_states.replace(history=root_states.history[:, :1])
+    return jax.vmap(
+        functools.partial(_make_empty_tree, capacity=capacity,
+                          num_actions=engine.num_actions)
+    )(trimmed, root_states.history)
+
+
+def _init_root(tree: Tree, prior: jnp.ndarray, value: jnp.ndarray) -> Tree:
+    """Expands + backs up the root IF it is fresh (mcts_v2.py:363-368); a
+    reused root keeps its carried stats and skips the evaluation entirely
+    (mcts_v2.py:366: root creation only `if root_node is None`)."""
+    fresh = ~tree.node_expanded[0]
+    return tree.replace(
+        node_N=tree.node_N.at[0].set(jnp.where(fresh, 1.0, tree.node_N[0])),
+        node_W=tree.node_W.at[0].set(jnp.where(fresh, value, tree.node_W[0])),
+        child_P=tree.child_P.at[0].set(
+            jnp.where(fresh, prior, tree.child_P[0])
+        ),
+        node_expanded=tree.node_expanded.at[0].set(True),
     )
 
 
 def _add_dirichlet_noise(tree: Tree, rng: jax.Array, eps: float, alpha: float) -> Tree:
     """Root exploration noise (mcts_v2.py:235-262): noise sampled over the
-    full action space, masked by legality, NOT renormalized — exact parity."""
+    full action space, masked by legality, NOT renormalized — exact parity.
+    Applied every search, including to reused roots (uct_search re-noises the
+    carried priors each call, mcts_v2.py:376-378)."""
     num_actions = tree.child_P.shape[-1]
     noise = jax.random.dirichlet(rng, jnp.full((num_actions,), alpha, jnp.float32))
     noise = noise * tree.states.legal[0]
@@ -283,17 +328,18 @@ def _select_leaf(tree: Tree, path_cap: int, c_puct_base: float,
 
 def _backup(tree: Tree, even: jnp.ndarray, odd: jnp.ndarray,
             leaf_depth: jnp.ndarray, leaf: jnp.ndarray,
-            value: jnp.ndarray) -> Tree:
+            value: jnp.ndarray, act: jnp.ndarray) -> Tree:
     """Adds ``value`` (leaf player's perspective) to the leaf and alternating
     -value up the recorded path (mcts_v2.py:213-232), as dense [T] vector
-    arithmetic over the parity masks.
+    arithmetic over the parity masks; ``act`` (0/1) masks out budget-complete
+    lanes.
 
     A node at depth j receives value * (-1)^(D - j) where D = leaf_depth;
     (-1)^(D-j) = (-1)^D * (-1)^j, and (-1)^j is +1 on the even mask, -1 on
     the odd mask. The leaf itself (depth D) receives +value.
     """
     capacity = tree.node_N.shape[0]
-    leaf_oh = _oh(leaf, capacity)
+    leaf_oh = _oh(leaf, capacity) * act
     d_sign = jnp.where(leaf_depth % 2 == 0, 1.0, -1.0)
     path_w = value * d_sign * (even - odd)
     return tree.replace(
@@ -309,63 +355,165 @@ def _backup(tree: Tree, even: jnp.ndarray, odd: jnp.ndarray,
 
 def _materialize(tree: Tree, slot: jnp.ndarray, parent: jnp.ndarray,
                  action: jnp.ndarray, existing_child: jnp.ndarray,
-                 hit_terminal: jnp.ndarray, new_state: GameState):
-    """Writes the freshly stepped leaf into (batch-uniform) ``slot``; when the
-    selection hit an existing terminal node the slot is written but never
-    linked. Returns (tree, leaf, needs_eval)."""
+                 hit_terminal: jnp.ndarray, active: jnp.ndarray,
+                 new_state: GameState):
+    """Writes the freshly stepped leaf into this lane's next free ``slot`` as
+    dense one-hot blends (no scatters); allocates nothing when selection hit
+    an existing terminal node or the lane's budget is spent.
+    Returns (tree, leaf, needs_eval)."""
     capacity = tree.node_N.shape[0]
     num_actions = tree.child_P.shape[-1]
-    is_new = ~hit_terminal
+    is_new = ~hit_terminal & active & (slot < capacity)
+    slot_i = jnp.clip(slot, 0, capacity - 1)
+    oh_b = (_oh(slot_i, capacity) * is_new) > 0.5
 
     states = jax.tree.map(
-        lambda arr, s: arr.at[slot].set(s), tree.states, new_state
+        lambda arr, s: jnp.where(
+            oh_b.reshape((capacity,) + (1,) * (arr.ndim - 1)), s, arr
+        ),
+        tree.states, new_state,
     )
     # Link parent -> slot via a one-hot outer-product blend (per-lane (row,
     # col) scatter would serialize).
-    link = (_oh(parent, capacity)[:, None] * _oh(action, num_actions)[None, :]) > 0.5
+    link = (_oh(parent, capacity)[:, None] * _oh(action, num_actions)[None, :]
+            * is_new) > 0.5
     children_index = jnp.where(
-        link & is_new, jnp.float32(slot), tree.children_index
+        link, slot_i.astype(jnp.float32), tree.children_index
     )
 
     tree = tree.replace(
         states=states,
-        parent_index=tree.parent_index.at[slot].set(parent.astype(jnp.float32)),
-        action_from_parent=tree.action_from_parent.at[slot].set(
-            action.astype(jnp.float32)
+        parent_index=jnp.where(oh_b, parent.astype(jnp.float32), tree.parent_index),
+        action_from_parent=jnp.where(
+            oh_b, action.astype(jnp.float32), tree.action_from_parent
         ),
-        node_done=tree.node_done.at[slot].set(new_state.done.astype(jnp.float32)),
-        node_reward=tree.node_reward.at[slot].set(new_state.last_reward),
-        node_N=tree.node_N.at[slot].set(0.0),
-        node_W=tree.node_W.at[slot].set(0.0),
+        node_done=jnp.where(oh_b, new_state.done.astype(jnp.float32), tree.node_done),
+        node_reward=jnp.where(oh_b, new_state.last_reward, tree.node_reward),
+        node_N=jnp.where(oh_b, 0.0, tree.node_N),
+        node_W=jnp.where(oh_b, 0.0, tree.node_W),
         children_index=children_index,
+        num_nodes=tree.num_nodes + is_new.astype(jnp.float32),
     )
-    leaf = jnp.where(is_new, slot, jnp.clip(existing_child, 0, capacity - 1))
+    leaf = jnp.where(is_new, slot_i, jnp.clip(existing_child, 0, capacity - 1))
     needs_eval = is_new & ~new_state.done
     return tree, leaf, needs_eval
 
 
 def _expand_backup(tree: Tree, slot: jnp.ndarray, leaf: jnp.ndarray,
-                   needs_eval: jnp.ndarray, even: jnp.ndarray,
-                   odd: jnp.ndarray, leaf_depth: jnp.ndarray,
-                   prior: jnp.ndarray, value: jnp.ndarray) -> Tree:
-    """Expand evaluated leaves (priors at the uniform slot); back up NN value
-    or the true terminal reward.
+                   needs_eval: jnp.ndarray, active: jnp.ndarray,
+                   even: jnp.ndarray, odd: jnp.ndarray,
+                   leaf_depth: jnp.ndarray, prior: jnp.ndarray,
+                   value: jnp.ndarray) -> Tree:
+    """Expand evaluated leaves (priors at this lane's slot); back up NN value
+    or the true terminal reward. Budget-complete lanes (``active`` false)
+    change nothing.
 
     Terminal leaves back up ``-reward`` — the reward belongs to the player who
     *made* the terminal move, the opposite of the leaf's player to move
     (mcts_v2.py:406-411).
     """
+    capacity = tree.node_N.shape[0]
+    slot_i = jnp.clip(slot, 0, capacity - 1)
+    oh_e = (_oh(slot_i, capacity) * needs_eval) > 0.5
     tree = tree.replace(
-        child_P=tree.child_P.at[slot].set(
-            jnp.where(needs_eval, prior, tree.child_P[slot])
-        ),
-        node_expanded=tree.node_expanded.at[slot].set(
-            jnp.where(needs_eval, True, tree.node_expanded[slot])
-        ),
+        child_P=jnp.where(oh_e[:, None], prior[None, :], tree.child_P),
+        node_expanded=jnp.where(oh_e, True, tree.node_expanded),
     )
+    act = active.astype(jnp.float32)
     term_reward = _elem(tree.node_reward, leaf)
     backup_value = jnp.where(needs_eval, value, -term_reward)
-    return _backup(tree, even, odd, leaf_depth, leaf, backup_value)
+    return _backup(tree, even * act, odd * act, leaf_depth, leaf,
+                   backup_value, act)
+
+
+# ---------------------------------------------------------------------------
+# Subtree re-rooting (reuse across moves, mcts_v2.py:643-653)
+# ---------------------------------------------------------------------------
+
+
+def _descendant_mask(parent_index: jnp.ndarray, root: jnp.ndarray) -> jnp.ndarray:
+    """0/1 f32[T] mask of ``root`` and all its descendants, by pointer-doubling
+    over the parent chain (ceil(log2 T) rounds of one-hot matvecs — every
+    lookup is an MXU product, no per-lane gathers)."""
+    capacity = parent_index.shape[0]
+    iota = jnp.arange(capacity, dtype=jnp.int32)
+    desc = (iota == root).astype(jnp.float32)
+    par = parent_index
+    for _ in range(max(1, (capacity - 1).bit_length())):
+        par_i = jnp.clip(par, 0.0, float(capacity - 1)).astype(jnp.int32)
+        oh = (par_i[:, None] == iota[None, :]).astype(jnp.float32)
+        valid = (par >= 0).astype(jnp.float32)
+        desc = jnp.maximum(desc, (oh @ desc) * valid)
+        par = jnp.where(par >= 0, oh @ par, -1.0)  # par[par[i]]
+    return desc
+
+
+def _reroot_one(tree: Tree, move: jnp.ndarray, done: jnp.ndarray,
+                new_root_state: GameState, new_root_history: jnp.ndarray,
+                num_actions: int) -> Tree:
+    """Promotes the chosen child's subtree to the root (one game).
+
+    Compacts the child's descendants into slots [0, m) preserving creation
+    order — since children always occupy higher slots than their parents, the
+    child itself lands at slot 0. The carried N/W/P stats are untouched, the
+    exact semantics of the reference's re-rooting (mcts_v2.py:643-653: N and W
+    preserved, parent replaced by a DummyNode). Lanes whose game just ended,
+    resigned, or whose move has no materialized child fall back to a fresh
+    empty tree (uct_search then recreates the root, mcts_v2.py:364-368).
+    """
+    capacity = tree.node_N.shape[0]
+    child_f = _oh(jnp.clip(move, 0, num_actions - 1), num_actions) @ tree.children_index[0]
+    valid = (~done) & (move >= 0) & (child_f >= 0.0)
+    child = jnp.clip(child_f, 0.0, float(capacity - 1)).astype(jnp.int32)
+
+    desc = _descendant_mask(tree.parent_index, child)
+    newidx = jnp.where(desc > 0, jnp.cumsum(desc) - 1.0, -1.0)
+    m_count = desc.sum()
+    jr = jnp.arange(capacity, dtype=jnp.float32)
+    # Permutation-selection matrix: row j picks the old node with new index j.
+    perm = ((newidx[None, :] == jr[:, None]) & (desc[None, :] > 0)).astype(jnp.float32)
+
+    def remap(vals):
+        """old node ids -> new ids (-1 stays -1, non-descendants -> -1)."""
+        v = jnp.clip(vals, 0.0, float(capacity - 1)).astype(jnp.int32)
+        return jnp.where(vals >= 0, newidx[v], -1.0)
+
+    in_use = jr < m_count
+    rerooted = Tree(
+        node_N=perm @ tree.node_N,
+        node_W=perm @ tree.node_W,
+        child_P=perm @ tree.child_P,
+        children_index=jnp.where(in_use[:, None], perm @ remap(tree.children_index), -1.0),
+        parent_index=jnp.where(in_use, perm @ remap(tree.parent_index), -1.0),
+        action_from_parent=jnp.where(in_use, perm @ tree.action_from_parent, -1.0)
+        .at[0].set(-1.0),
+        node_expanded=(perm @ tree.node_expanded.astype(jnp.float32)) > 0.5,
+        node_done=perm @ tree.node_done,
+        node_reward=perm @ tree.node_reward,
+        states=_matmul_state(tree.states, perm, capacity),
+        root_history=new_root_history,
+        num_nodes=m_count,
+    )
+    fresh = _make_empty_tree(new_root_state, new_root_history, capacity, num_actions)
+    out = jax.tree.map(lambda a, b: jnp.where(valid, a, b), rerooted, fresh)
+    # Overwrite slot 0 with the REAL post-move state: identical to the
+    # compacted child state for valid lanes (same step on the same state),
+    # and the fresh root otherwise — guarantees root/legal parity bit-exactly.
+    states = jax.tree.map(lambda arr, s: arr.at[0].set(s), out.states, new_root_state)
+    return out.replace(states=states)
+
+
+def reroot_trees(trees: Tree, move: jnp.ndarray, done: jnp.ndarray,
+                 new_root_states: GameState, num_actions: int) -> Tree:
+    """Batched subtree promotion after the real games stepped with ``move``.
+
+    ``new_root_states`` are the post-step (and post-auto-reset) game states;
+    ``done`` marks games that finished on this move (their trees reset).
+    """
+    trimmed = new_root_states.replace(history=new_root_states.history[:, :1])
+    return jax.vmap(
+        functools.partial(_reroot_one, num_actions=num_actions)
+    )(trees, move, done, trimmed, new_root_states.history)
 
 
 # ---------------------------------------------------------------------------
@@ -384,16 +532,26 @@ def batched_search(
     root_noise: bool = False,
     dirichlet_eps: float = 0.25,
     dirichlet_alpha: float = 0.03,
-) -> SearchResult:
+    prev_trees: Optional[Tree] = None,
+    max_new_sims: Optional[int] = None,
+    return_trees: bool = False,
+):
     """Runs MCTS for a batch of games; one batched NN eval per simulation.
 
     ``eval_fn(obs[B, N, N, C]) -> (pi_probs[B, A], value[B])`` — softmaxed
     policy over ALL actions (illegal filtered at select, like the reference's
     eval_position, pipeline.py:91-123) and value in the current player's view.
 
-    Total simulations including the root evaluation equal ``num_simulations``
-    (the serial reference loops while root.N < num_simulations; root starts
-    at N=1 after its own expand+backup, mcts_v2.py:363-378).
+    The visit budget follows the serial reference loop ``while root.N <
+    num_simulations`` (mcts_v2.py:379): a fresh root starts at N=1 after its
+    own expand+backup, so a fresh tree runs num_simulations - 1 simulations;
+    with ``prev_trees`` (subtree reuse) lanes whose reused root already
+    carries visits stop early (masked no-ops). ``max_new_sims`` caps the
+    static simulation-loop length — below num_simulations - 1 it trades
+    worst-case budget completion for wall-clock (only meaningful with reuse).
+
+    Returns the SearchResult, plus the post-search trees when
+    ``return_trees`` (feed them through ``reroot_trees`` into the next call).
     """
     capacity = num_simulations + 1
     # A path can't outgrow the tree depth nor the game length.
@@ -406,10 +564,11 @@ def batched_search(
     # are rebuilt from ancestor boards + the root's pre-search history, so
     # per-node history arrays would be pure redundant HBM traffic.
     tree_engine = engine.with_num_stack(1)
-    root_trimmed = root_states.replace(history=root_states.history[:, :1])
-    trees = jax.vmap(
-        functools.partial(_make_tree, capacity=capacity, num_actions=engine.num_actions)
-    )(root_trimmed, root_states.history, prior0, value0)
+    if prev_trees is None:
+        trees = make_empty_trees(engine, root_states, num_simulations)
+    else:
+        trees = prev_trees
+    trees = jax.vmap(_init_root)(trees, prior0, value0)
     if root_noise:
         batch = value0.shape[0]
         noise_rngs = jax.random.split(rng, batch)
@@ -422,28 +581,30 @@ def batched_search(
                           c_puct_base=c_puct_base, c_puct_init=c_puct_init)
     )
     gather_state = jax.vmap(functools.partial(_gather_state, capacity=capacity))
-    materialize = jax.vmap(_materialize, in_axes=(0, None, 0, 0, 0, 0, 0))
-    expand_backup = jax.vmap(_expand_backup, in_axes=(0, None, 0, 0, 0, 0, 0, 0, 0))
+    materialize = jax.vmap(_materialize)
+    expand_backup = jax.vmap(_expand_backup)
 
     leaf_hist = jax.vmap(
         functools.partial(_leaf_history, num_stack=num_stack)
     )
 
     def sim_body(i, trees):
-        slot = i + 1  # lockstep slot allocation (batch-uniform index)
+        active = trees.node_N[:, 0] < float(num_simulations)
+        slot = trees.num_nodes.astype(jnp.int32)
         parent, action, child, hit_term, even, odd, depth = select(trees)
         parent_states = gather_state(trees.states, parent)
         new_states = tree_engine.step_batch(parent_states, action)
         trees, leaf, needs_eval = materialize(
-            trees, slot, parent, action, child, hit_term, new_states
+            trees, slot, parent, action, child, hit_term, active, new_states
         )
         history = leaf_hist(trees, parent, depth, new_states.board)
         obs = jax.vmap(engine.observation_from)(history, new_states.to_play)
         prior, value = eval_fn(obs)
-        return expand_backup(trees, slot, leaf, needs_eval, even, odd, depth,
-                             prior, value)
+        return expand_backup(trees, slot, leaf, needs_eval, active, even, odd,
+                             depth, prior, value)
 
-    trees = jax.lax.fori_loop(0, num_simulations - 1, sim_body, trees)
+    loop_len = num_simulations - 1 if max_new_sims is None else max_new_sims
+    trees = jax.lax.fori_loop(0, loop_len, sim_body, trees)
 
     # Root child stats: visits/values of the root's children, action-indexed
     # (one plain gather outside the hot loop is fine).
@@ -455,12 +616,15 @@ def batched_search(
     child_w = jnp.where(
         root_children >= 0, jnp.take_along_axis(trees.node_W, safe, axis=1), 0.0
     )
-    return SearchResult(
+    result = SearchResult(
         child_N=child_n,
         child_W=child_w,
         root_Q=trees.node_W[:, 0] / jnp.maximum(trees.node_N[:, 0], 1.0),
         legal=trees.states.legal[:, 0],
     )
+    if return_trees:
+        return result, trees
+    return result
 
 
 # ---------------------------------------------------------------------------
@@ -468,14 +632,28 @@ def batched_search(
 # ---------------------------------------------------------------------------
 
 
+def _temp_exponent(temperature: float) -> float:
+    """The reference's overflow-safe exponent clamp: clip(1/temp, 1, 5)
+    (generate_search_policy, mcts_v2.py:286-289)."""
+    if not 0.0 < temperature <= 1.0:
+        raise ValueError(
+            f"Expect temperature in (0.0, 1.0], got {temperature}"
+        )
+    return max(1.0, min(5.0, 1.0 / temperature))
+
+
 def policy_from_counts(child_N: jnp.ndarray, legal: jnp.ndarray,
-                       warm_up: jnp.ndarray) -> jnp.ndarray:
-    """Visit-count policy with the reference's exponent clamp
-    (generate_search_policy, mcts_v2.py:265-298): temperature 1.0 during
-    warm-up, 0.1 after, exponent = clip(1/temp, 1, 5). ``warm_up`` is a
-    per-game bool [B]."""
+                       warm_up: jnp.ndarray,
+                       warm_up_temperature: float = 1.0,
+                       temperature: float = 0.1) -> jnp.ndarray:
+    """Visit-count policy (generate_search_policy, mcts_v2.py:265-298):
+    ``warm_up_temperature`` during warm-up (reference uses 1.0),
+    ``temperature`` after (reference 0.1), exponent = clip(1/temp, 1, 5).
+    ``warm_up`` is a per-game bool [B]."""
     counts = child_N * legal
-    exponent = jnp.where(warm_up, 1.0, 5.0)[:, None]
+    exponent = jnp.where(
+        warm_up, _temp_exponent(warm_up_temperature), _temp_exponent(temperature)
+    )[:, None]
     powered = counts ** exponent
     total = powered.sum(axis=-1, keepdims=True)
     return jnp.where(total > 0, powered / jnp.maximum(total, 1e-9), powered)

@@ -42,6 +42,7 @@ class SelfplayState:
     games: GameState              # [B] live games (never done on entry)
     resign_disabled: jnp.ndarray  # bool[B]
     marked_resign_player: jnp.ndarray  # int8[B]; 0 = unmarked
+    trees: Optional[mcts.Tree] = None  # [B] carried search trees (subtree reuse)
 
 
 class StepOutput(NamedTuple):
@@ -66,15 +67,28 @@ class StepOutput(NamedTuple):
 
 def init_selfplay_state(engine, batch_size: int, rng: jax.Array,
                         resign_threshold: float,
-                        disable_resign_ratio: float) -> SelfplayState:
+                        disable_resign_ratio: float,
+                        reuse_num_simulations: Optional[int] = None) -> SelfplayState:
+    """``reuse_num_simulations`` (the search budget) must be set when the
+    selfplay step was built with ``search_cfg.reuse_subtree`` — it sizes the
+    carried trees (fresh/empty at start)."""
     games = engine.init_batch(batch_size)
     disabled = _sample_resign_disabled(
         rng, batch_size, engine.has_resign_move, resign_threshold, disable_resign_ratio
     )
+    trees = None
+    if reuse_num_simulations is not None:
+        # Under jit so every tree leaf gets its own buffer — eager
+        # broadcast_to would alias the games' arrays and break donation.
+        trees = jax.jit(
+            functools.partial(mcts.make_empty_trees, engine,
+                              num_simulations=reuse_num_simulations)
+        )(games)
     return SelfplayState(
         games=games,
         resign_disabled=disabled,
         marked_resign_player=jnp.zeros((batch_size,), jnp.int8),
+        trees=trees,
     )
 
 
@@ -110,6 +124,10 @@ def make_selfplay_step(
     warm_up_steps = search_cfg.warm_up_steps
     check_after = resign_cfg.check_resign_after_steps
     disable_ratio = resign_cfg.disable_resign_ratio
+    reuse = getattr(search_cfg, "reuse_subtree", False)
+    max_new_sims = getattr(search_cfg, "max_new_sims", None)
+    warm_temp = getattr(search_cfg, "warm_up_temperature", 1.0)
+    final_temp = getattr(search_cfg, "temperature", 0.1)
 
     def eval_fn_factory(variables):
         def eval_fn(obs):
@@ -125,7 +143,7 @@ def make_selfplay_step(
         batch = games.done.shape[0]
 
         obs = jax.vmap(engine.observation)(games)
-        result = mcts.batched_search(
+        search_out = mcts.batched_search(
             eval_fn_factory(variables), engine, games, rng_search,
             num_simulations=search_cfg.num_simulations,
             c_puct_base=search_cfg.c_puct_base,
@@ -133,11 +151,18 @@ def make_selfplay_step(
             root_noise=root_noise,
             dirichlet_eps=search_cfg.dirichlet_eps,
             dirichlet_alpha=search_cfg.dirichlet_alpha,
+            prev_trees=sp.trees if reuse else None,
+            max_new_sims=max_new_sims,
+            return_trees=reuse,
         )
+        result, trees = search_out if reuse else (search_out, None)
 
         # warm_up iff env.steps <= warm_up_steps (pipeline.py:320).
         warm_up = games.step_count <= warm_up_steps
-        search_pi = mcts.policy_from_counts(result.child_N, result.legal, warm_up)
+        search_pi = mcts.policy_from_counts(
+            result.child_N, result.legal, warm_up,
+            warm_up_temperature=warm_temp, temperature=final_temp,
+        )
         move = mcts.sample_move(
             rng_move, search_pi, result.legal, result.child_N, warm_up,
             pass_move=pass_move, deterministic=deterministic,
@@ -192,10 +217,17 @@ def make_selfplay_step(
         new_disabled = _sample_resign_disabled(
             rng_resign, batch, has_resign, resign_threshold, disable_ratio
         )
+        new_trees = None
+        if reuse:
+            # Promote the chosen child's subtree into the next move's root;
+            # finished (auto-reset) games get fresh trees.
+            new_trees = mcts.reroot_trees(trees, move, done, new_games,
+                                          engine.num_actions)
         new_sp = SelfplayState(
             games=new_games,
             resign_disabled=jnp.where(done, new_disabled, sp.resign_disabled),
             marked_resign_player=jnp.where(done, jnp.int8(0), marked),
+            trees=new_trees,
         )
         return new_sp, out
 
@@ -230,6 +262,16 @@ class EpisodeAccumulator:
         self._pi: list[list[np.ndarray]] = [[] for _ in range(batch_size)]
         self._to_play: list[list[int]] = [[] for _ in range(batch_size)]
         self._moves: list[list] = [[] for _ in range(batch_size)]
+        self._stale = np.zeros(batch_size, np.bool_)
+
+    def mark_all_stale(self) -> None:
+        """Flags every in-flight game as started under now-replaced weights.
+        Their FinishedGame.stats['stale'] will be True — the trainer drops
+        them, matching the reference's generation fence which deletes games
+        from older checkpoints (pipeline.py:492-493). Empty slots (game about
+        to start fresh) are not in flight and stay clean."""
+        for i in range(self.batch_size):
+            self._stale[i] = bool(self._obs[i])
 
     def add_step(self, out: StepOutput) -> list[FinishedGame]:
         obs = np.asarray(out.obs)
@@ -289,7 +331,9 @@ class EpisodeAccumulator:
             "is_could_won": is_could_won,
             "marked_resign_player": {1: "B", -1: "W", 0: None}[marked],
             "winner": i_winner,
+            "stale": bool(self._stale[i]),
         }
+        self._stale[i] = False
 
         moves = list(self._moves[i])
         self._obs[i].clear()

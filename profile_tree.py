@@ -32,28 +32,27 @@ def eval_fn(o):
 # Build a mid-search tree by running ~60 sims of the real search body.
 roots = engine.init_batch(batch)
 prior0, value0 = eval_fn(jax.vmap(engine.observation)(roots))
-root_trimmed = roots.replace(history=roots.history[:, :1])
-trees0 = jax.vmap(
-    functools.partial(M._make_tree, capacity=capacity, num_actions=A)
-)(root_trimmed, roots.history, prior0, value0)
+trees0 = M.make_empty_trees(engine, roots, sims)
+trees0 = jax.vmap(M._init_root)(trees0, prior0, value0)
 
 select = jax.vmap(functools.partial(
     M._select_leaf, path_cap=path_cap, c_puct_base=19652.0, c_puct_init=1.25))
 gather_state = jax.vmap(functools.partial(M._gather_state, capacity=capacity))
-materialize = jax.vmap(M._materialize, in_axes=(0, None, 0, 0, 0, 0, 0))
-expand_backup = jax.vmap(M._expand_backup, in_axes=(0, None, 0, 0, 0, 0, 0, 0, 0))
+materialize = jax.vmap(M._materialize)
+expand_backup = jax.vmap(M._expand_backup)
 leaf_hist = jax.vmap(functools.partial(M._leaf_history, num_stack=engine.num_stack))
 
 def sim_body(i, trees):
-    slot = i + 1
+    active = trees.node_N[:, 0] < float(sims)
+    slot = trees.num_nodes.astype(jnp.int32)
     parent, action, child, hit_term, even, odd, depth = select(trees)
     parent_states = gather_state(trees.states, parent)
     new_states = tree_engine.step_batch(parent_states, action)
-    trees, leaf, needs_eval = materialize(trees, slot, parent, action, child, hit_term, new_states)
+    trees, leaf, needs_eval = materialize(trees, slot, parent, action, child, hit_term, active, new_states)
     history = leaf_hist(trees, parent, depth, new_states.board)
     o = jax.vmap(engine.observation_from)(history, new_states.to_play)
     prior, value = eval_fn(o)
-    return expand_backup(trees, slot, leaf, needs_eval, even, odd, depth, prior, value)
+    return expand_backup(trees, slot, leaf, needs_eval, active, even, odd, depth, prior, value)
 
 warm = int(os.environ.get("WARM_SIMS", "60"))
 trees = jax.jit(lambda t: jax.lax.fori_loop(0, warm, sim_body, t))(trees0)
@@ -81,9 +80,11 @@ st_j = jax.jit(tree_engine.step_batch)
 t_st = timeit("tree_engine.step (stack1)", st_j, parent_states, action)
 new_states = st_j(parent_states, action)
 
-mat_j = jax.jit(lambda t, p, a, c, h, s: materialize(t, jnp.int32(warm + 1), p, a, c, h, s))
-t_mat = timeit("materialize", mat_j, trees, parent, action, child, hit_term, new_states)
-trees2, leaf, needs_eval = mat_j(trees, parent, action, child, hit_term, new_states)
+slot_v = trees.num_nodes.astype(jnp.int32)
+active_v = trees.node_N[:, 0] < float(sims)
+mat_j = jax.jit(lambda t, sl, p, a, c, h, ac, s: materialize(t, sl, p, a, c, h, ac, s))
+t_mat = timeit("materialize", mat_j, trees, slot_v, parent, action, child, hit_term, active_v, new_states)
+trees2, leaf, needs_eval = mat_j(trees, slot_v, parent, action, child, hit_term, active_v, new_states)
 
 lh_j = jax.jit(lambda t, p, d, b: leaf_hist(t, p, d, b))
 t_lh = timeit("leaf_history", lh_j, trees2, parent, depth, new_states.board)
@@ -97,9 +98,9 @@ nn_j = jax.jit(eval_fn)
 t_nn = timeit("nn_eval", nn_j, o)
 prior, value = nn_j(o)
 
-eb_j = jax.jit(lambda t, l, ne, e, od, d, pr, v: expand_backup(
-    t, jnp.int32(warm + 1), l, ne, e, od, d, pr, v))
-t_eb = timeit("expand_backup", eb_j, trees2, leaf, needs_eval, even, odd, depth, prior, value)
+eb_j = jax.jit(lambda t, sl, l, ne, ac, e, od, d, pr, v: expand_backup(
+    t, sl, l, ne, ac, e, od, d, pr, v))
+t_eb = timeit("expand_backup", eb_j, trees2, slot_v, leaf, needs_eval, active_v, even, odd, depth, prior, value)
 
 total = t_sel + t_gs + t_st + t_mat + t_lh + t_obs + t_nn + t_eb
 print(f"sum of phases: {total*1e3:.3f} ms/sim (standalone-jit; fused loop may differ)")
