@@ -25,6 +25,16 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
 
     cfg = resolve_config(args.config, args.set)
+    # Multi-host: jax.distributed must come up before anything touches the
+    # backend (Trainer queries devices in __init__).
+    if cfg.parallel.coordinator_address:
+        from alpha_zero_tpu.parallel import multihost
+
+        multihost.initialize(
+            coordinator_address=cfg.parallel.coordinator_address,
+            num_processes=cfg.parallel.num_processes or None,
+            process_id=None if cfg.parallel.process_id < 0 else cfg.parallel.process_id,
+        )
     logger = create_logger(cfg.run.log_level)
     logger.info("config: %s", json.dumps(dataclasses.asdict(cfg), default=str, indent=1))
 

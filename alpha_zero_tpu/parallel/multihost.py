@@ -18,7 +18,10 @@ design scales across hosts with ``jax.distributed`` and a GLOBAL device mesh:
   already resident and replicated/sharded on every chip (replacing the
   reference's checkpoint-file polling, pipeline.py:232-239).
 - the generation fence (games-per-checkpoint pacing) aggregates finished-game
-  counts across hosts with ``global_game_count``.
+  counts across hosts with ``global_game_count`` so every process flips from
+  self-play to training on the same step; the resignation-threshold controller
+  runs on process 0 (the reference's single learner, pipeline.py:519-553) and
+  its threshold is broadcast each generation.
 
 Single-host behavior is unchanged: with one process these helpers reduce to
 the local mesh in ``parallel/mesh.py``.
@@ -26,7 +29,7 @@ the local mesh in ``parallel/mesh.py``.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import numpy as np
@@ -36,11 +39,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
-    """Initializes jax.distributed (no-op when single-process or already up)."""
-    if jax.process_count() > 1:
+    """Initializes ``jax.distributed``. MUST run before anything touches the
+    JAX backend (device queries included) — so this is called from the CLI
+    entry point straight after config parsing, never from inside Trainer.
+    No-op when no coordinator address is configured (single host)."""
+    if not coordinator_address:
         return
-    if coordinator_address is None:
-        return  # single host
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
@@ -49,8 +53,10 @@ def initialize(coordinator_address: Optional[str] = None,
 
 
 def make_global_mesh(mdl: int = 1) -> Mesh:
-    """('dp', 'mdl') mesh over ALL devices of all hosts; dp spans hosts so
-    the gradient all-reduce crosses ICI first, DCN only between slices."""
+    """('dp', 'mdl') mesh over ALL devices of all hosts. ``jax.devices()``
+    orders devices by process, so each host's chips form contiguous 'dp'
+    blocks — the gradient all-reduce crosses ICI first, DCN only between
+    hosts."""
     devices = jax.devices()
     n = len(devices)
     if n % mdl != 0:
@@ -58,27 +64,69 @@ def make_global_mesh(mdl: int = 1) -> Mesh:
     return Mesh(np.asarray(devices).reshape(n // mdl, mdl), ("dp", "mdl"))
 
 
-def host_local_batch_to_global(mesh: Mesh, local_batch: np.ndarray) -> jax.Array:
-    """Forms a globally dp-sharded array from each host's local rows.
+def local_to_global(mesh: Mesh, local_tree: Any) -> Any:
+    """Forms globally dp-sharded arrays from each host's local rows.
 
-    Every host passes its own ``local_batch`` (its fraction of the global
-    batch); the result is one logical array of shape
-    [num_hosts * local_rows, ...] sharded over 'dp'.
+    Every host passes its own pytree of ``[local_rows, ...]`` arrays (its
+    fraction of the global batch); each leaf becomes one logical array of
+    shape [num_hosts * local_rows, ...] sharded over 'dp'.
     """
-    sharding = NamedSharding(mesh, P("dp"))
-    global_shape = (local_batch.shape[0] * jax.process_count(),) + local_batch.shape[1:]
-    return jax.make_array_from_process_local_data(sharding, local_batch, global_shape)
+    nproc = jax.process_count()
+
+    def f(x):
+        x = np.asarray(x)
+        sharding = NamedSharding(mesh, P("dp", *([None] * (x.ndim - 1))))
+        global_shape = (x.shape[0] * nproc,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x, global_shape)
+
+    return jax.tree.map(f, local_tree)
 
 
-def global_game_count(local_count: int) -> int:
-    """Sums per-host finished-game counts (the multi-host generation fence)."""
+def global_to_local(global_tree: Any) -> Any:
+    """This host's rows of globally dp-sharded arrays, as host numpy
+    (ordered by global row index — each host owns one contiguous block)."""
+
+    def f(x):
+        shards = sorted(
+            x.addressable_shards,
+            key=lambda s: s.index[0].start if s.index[0].start is not None else 0,
+        )
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+    return jax.tree.map(f, global_tree)
+
+
+def replicate_to_global(mesh: Mesh, tree: Any) -> Any:
+    """Places host-identical values (same on every process, e.g. params built
+    from a shared seed) as fully-replicated global arrays on ``mesh``."""
+    sharding = NamedSharding(mesh, P())
+
+    def f(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(sharding, x, x.shape)
+
+    return jax.tree.map(f, tree)
+
+
+def global_game_count(local_count: int, mesh: Optional[Mesh] = None) -> int:
+    """Sums per-host finished-game counts (the multi-host generation fence,
+    replacing the reference learner's central queue accounting,
+    pipeline.py:485-497). A collective: every process must call it at the
+    same point."""
     if jax.process_count() == 1:
         return local_count
-    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
 
-    counts = jax.make_array_from_process_local_data(
-        NamedSharding(make_global_mesh(), P("dp")),
-        np.asarray([local_count], np.int64),
-        (jax.process_count(),),
-    )
-    return int(jnp.sum(counts))
+    counts = multihost_utils.process_allgather(np.int64(local_count))
+    return int(np.sum(counts))
+
+
+def broadcast_from_host0(value: float, mesh: Mesh) -> float:
+    """Broadcasts a host-side control scalar (e.g. the resignation threshold)
+    from process 0 to every process — the multi-host stand-in for the
+    reference's ``Manager.Value`` control plane (training_go.py:282-283)."""
+    if jax.process_count() == 1:
+        return value
+    from jax.experimental import multihost_utils
+
+    return float(multihost_utils.broadcast_one_to_all(np.float32(value)))

@@ -20,17 +20,30 @@ from alpha_zero_tpu.training.learner import TrainState
 
 
 def save_checkpoint(ckpt_dir: str, state: TrainState, training_steps: int) -> str:
-    """Writes ``ckpt_dir/training_steps_{t}`` and returns its path."""
+    """Writes ``ckpt_dir/training_steps_{t}`` and returns its path.
+
+    Multi-process: a collective — every process calls this and orbax writes
+    each array's shards directly from its owning devices (no host gather of
+    the global state, unlike the reference's single-GPU ``torch.save``,
+    pipeline.py:596-606)."""
     path = os.path.abspath(os.path.join(ckpt_dir, f"training_steps_{training_steps}"))
+    payload = state if jax.process_count() > 1 else jax.device_get(state)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, jax.device_get(state), force=True)
+        ckptr.save(path, payload, force=True)
     return path
 
 
+def _abstract_like(x):
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+    return ocp.utils.to_shape_dtype_struct(np.asarray(x))
+
+
 def restore_checkpoint(path: str, target: TrainState) -> TrainState:
-    """Restores into the structure of ``target`` (shapes/dtypes template)."""
+    """Restores into the structure of ``target`` (shapes/dtypes/shardings
+    template — sharded leaves come back with their global shardings)."""
     with ocp.StandardCheckpointer() as ckptr:
-        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, jax.device_get(target))
+        abstract = jax.tree.map(_abstract_like, target)
         return ckptr.restore(os.path.abspath(path), abstract)
 
 

@@ -17,11 +17,23 @@ threshold controller with hard resets and FP-rate bookkeeping
 (pipeline.py:519-553, 656-670), warm-up temperature, CSV schemas, SGF dumps,
 replay save/restore, checkpoint resume.
 
-Documented deviation: the reference's generation fence drops games started
-under an older checkpoint (pipeline.py:492-493); with lockstep batched
-self-play, games in flight at a weight switch *continue under the new
-weights* instead of being discarded — no stale-weights data enters replay
-either way, and no work is thrown away.
+Documented deviation: the reference's generation fence drops whole games
+started under an older checkpoint (pipeline.py:492-493); with lockstep
+batched self-play, games in flight at a weight switch *continue under the
+new weights* by default. A straddling game's pre-switch transitions (obs/pi
+recorded under the old weights) DO enter replay — a small
+training-distribution difference vs the reference in exchange for throwing
+no work away. Set ``train.drop_straddling_games=True`` for reference-exact
+behavior: games alive at a weight switch are finished but discarded
+(not counted, not stored).
+
+Multi-host (``jax.distributed`` initialized by cli.train before the Trainer
+is built): every process runs this same loop over ONE global ('dp', 'mdl')
+mesh. Games and train batches are globally dp-sharded (each host feeds and
+harvests its local rows), replay stays host-local, the generation fence
+counts games globally, the resignation threshold is host0's broadcast, and
+checkpoints are written collectively by orbax from the sharded state. See
+``parallel/multihost.py``.
 """
 
 from __future__ import annotations
@@ -168,10 +180,40 @@ class Trainer:
         # Multi-chip: shard the train state / batches / game batch over the
         # ('dp', 'mdl') mesh when more than one device is requested — XLA
         # then inserts the psum gradient collectives over ICI.
+        # Multi-host (jax.distributed already initialized by cli.train): one
+        # GLOBAL mesh over every host's devices; each process holds its local
+        # shard of the game/train batches and its local replay partition.
         self.mesh = None
         self.data_sharding = None
+        self.multihost = jax.process_count() > 1
+        self.process_index = jax.process_index()
+        self.is_host0 = self.process_index == 0
         n_mesh = cfg.parallel.dp * cfg.parallel.mdl
-        if n_mesh > 1:
+        if self.multihost:
+            from alpha_zero_tpu.parallel import mesh as mesh_lib
+            from alpha_zero_tpu.parallel import multihost as mh_lib
+
+            self._mh = mh_lib
+            self.mesh = mh_lib.make_global_mesh(mdl=cfg.parallel.mdl)
+            self.data_sharding = mesh_lib.batch_sharding(self.mesh)
+            # Params/opt state are host-identical (same seed everywhere):
+            # place them replicated-over-dp / mdl-sharded on the global mesh.
+            p_shard = mesh_lib.param_shardings(self.mesh, self.train_state.params)
+            params = jax.tree.map(
+                lambda x, s: jax.make_array_from_process_local_data(
+                    s, np.asarray(x), np.asarray(x).shape),
+                self.train_state.params, p_shard,
+            )
+            rep = jax.tree.map(np.asarray, self.train_state.batch_stats)
+            batch_stats = mh_lib.replicate_to_global(self.mesh, rep)
+            opt_state = jax.jit(self.tx.init)(params)
+            self.train_state = self.train_state.replace(
+                params=params, batch_stats=batch_stats, opt_state=opt_state,
+                training_steps=mh_lib.replicate_to_global(
+                    self.mesh, np.asarray(self.train_state.training_steps)
+                ),
+            )
+        elif n_mesh > 1:
             from alpha_zero_tpu.parallel import mesh as mesh_lib
 
             self.mesh = mesh_lib.make_mesh(n_devices=n_mesh, mdl=cfg.parallel.mdl)
@@ -180,24 +222,43 @@ class Trainer:
                 self.mesh, self.train_state, self.tx
             )
 
-        batch = cfg.parallel.selfplay_batch_size
+        batch = cfg.parallel.selfplay_batch_size  # per-host games
+        # Multi-host: decorrelate each host's game stream (reference seeds
+        # actors with seed+rank, pipeline.py:193).
+        sp_rng = jax.random.fold_in(sp_rng, self.process_index)
         self.sp_state = selfplay_lib.init_selfplay_state(
             self.engine, batch, sp_rng,
             resign_threshold=self.resign_controller.threshold,
             disable_resign_ratio=cfg.resign.disable_resign_ratio,
+            reuse_num_simulations=(
+                cfg.search.num_simulations if cfg.search.reuse_subtree else None
+            ),
         )
-        if self.data_sharding is not None:
+        if self.multihost:
+            self.sp_state = self._mh.local_to_global(
+                self.mesh, jax.tree.map(np.asarray, self.sp_state)
+            )
+        elif self.data_sharding is not None:
             self.sp_state = jax.tree.map(
                 lambda x: jax.device_put(x, self.data_sharding), self.sp_state
             )
         self.accumulator = selfplay_lib.EpisodeAccumulator(batch)
 
-        self.actor_writer = CsvWriter(os.path.join(cfg.run.logs_dir, "actor0.csv"))
+        self.actor_writer = CsvWriter(
+            os.path.join(cfg.run.logs_dir, f"actor{self.process_index}.csv")
+            if self.multihost
+            else os.path.join(cfg.run.logs_dir, "actor0.csv")
+        )
         self.train_writer = CsvWriter(os.path.join(cfg.run.logs_dir, "training.csv"),
                                       buffer_size=1)
         self.eval_writer = CsvWriter(os.path.join(cfg.run.logs_dir, "evaluation.csv"),
                                      buffer_size=1)
         self.evaluator = None  # built lazily by enable_evaluator()
+        self._replay_path = os.path.join(
+            cfg.run.ckpt_dir,
+            f"replay_state_p{self.process_index}.npz" if self.multihost
+            else "replay_state.npz",
+        )
         self.timer = Timer()
         self.training_steps = 0
         self.last_ckpt_games = 0
@@ -229,7 +290,9 @@ class Trainer:
     # ------------------------------------------------------------------
     def selfplay_until(self, target_new_games: int,
                        max_steps: Optional[int] = None) -> int:
-        """Runs self-play until ``target_new_games`` finish; returns count."""
+        """Runs self-play until ``target_new_games`` finish (counted across
+        all hosts when multi-host — every process exits on the same step);
+        returns the count this host saw globally."""
         cfg = self.cfg
         new_games = 0
         steps = 0
@@ -239,8 +302,21 @@ class Trainer:
                 self.sp_state, out = self.selfplay_step(
                     self.variables, self.sp_state, self._next_rng(), threshold
                 )
+                if self.multihost:
+                    # Harvest this host's rows of the global batch.
+                    out = selfplay_lib.StepOutput(*self._mh.global_to_local(out))
                 finished = self.accumulator.add_step(out)
             steps += 1
+            if cfg.train.drop_straddling_games:
+                kept = []
+                for game in finished:
+                    if game.stats.pop("stale"):
+                        continue  # reference fence: discard, don't count
+                    kept.append(game)
+                finished = kept
+            else:
+                for game in finished:
+                    game.stats.pop("stale", None)
             for game in finished:
                 new_games += 1
                 self.played_games += 1
@@ -282,8 +358,18 @@ class Trainer:
                     cfg.train.save_replay_interval > 0
                     and self.replay.num_games_added % cfg.train.save_replay_interval == 0
                 ):
-                    self.replay.save(os.path.join(cfg.run.ckpt_dir, "replay_state.npz"))
+                    self.replay.save(self._replay_path)
 
+            if self.multihost:
+                # Generation fence: count games globally so every process
+                # flips from self-play to training on the same step, and use
+                # host0's threshold (one-step lag on mid-collection updates).
+                new_games += self._mh.global_game_count(
+                    len(finished), self.mesh
+                ) - len(finished)
+                self.resign_controller.threshold = self._mh.broadcast_from_host0(
+                    self.resign_controller.threshold, self.mesh
+                )
             # Threshold may have moved mid-collection.
             threshold = jnp.float32(self.resign_controller.threshold)
             if max_steps is not None and steps >= max_steps:
@@ -303,7 +389,8 @@ class Trainer:
             date=get_time_stamp(),
         )
         path = os.path.join(
-            self.cfg.run.save_sgf_dir, f"actor0_{get_time_stamp(True)}_{self.played_games}.sgf"
+            self.cfg.run.save_sgf_dir,
+            f"actor{self.process_index}_{get_time_stamp(True)}_{self.played_games}.sgf",
         )
         with open(path, "w") as f:
             f.write(content)
@@ -314,23 +401,46 @@ class Trainer:
         (pipeline.py:563-615)."""
         cfg = self.cfg
         target = self.training_steps + cfg.train.ckpt_interval
+        # Multi-host: each host samples its local fraction of the global
+        # batch from its local replay partition (uniform-over-union).
+        local_bs = cfg.train.batch_size
+        if self.multihost:
+            nproc = jax.process_count()
+            if cfg.train.batch_size % nproc:
+                raise ValueError(
+                    f"train.batch_size={cfg.train.batch_size} must divide by "
+                    f"process count {nproc}"
+                )
+            local_bs = cfg.train.batch_size // nproc
         while self.training_steps < target:
-            batch = self.replay.sample(cfg.train.batch_size)
+            batch = self.replay.sample(local_bs)
+            if self.multihost:
+                # Every host must agree (collective control flow): train only
+                # if ALL local replays can sample.
+                ok = self._mh.global_game_count(int(batch is not None), self.mesh)
+                if ok < jax.process_count():
+                    batch = None
             if batch is None:
                 self.logger.warning("replay too small to sample; skipping update")
                 break
-            states = jnp.asarray(batch.state)
-            pis = jnp.asarray(batch.pi_prob)
-            values = jnp.asarray(batch.value)
-            if self.data_sharding is not None:
-                states = jax.device_put(states, self.data_sharding)
-                pis = jax.device_put(pis, self.data_sharding)
-                values = jax.device_put(values, self.data_sharding)
+            if self.multihost:
+                globs = self._mh.local_to_global(
+                    self.mesh, (batch.state, batch.pi_prob, batch.value)
+                )
+                states, pis, values = globs
+            else:
+                states = jnp.asarray(batch.state)
+                pis = jnp.asarray(batch.pi_prob)
+                values = jnp.asarray(batch.value)
+                if self.data_sharding is not None:
+                    states = jax.device_put(states, self.data_sharding)
+                    pis = jax.device_put(pis, self.data_sharding)
+                    values = jax.device_put(values, self.data_sharding)
             self.train_state, metrics = self.train_step(
                 self.train_state, states, pis, values, self._next_rng(),
             )
             self.training_steps += 1
-            if (
+            if self.is_host0 and (
                 self.training_steps % cfg.train.log_interval == 0
                 or self.training_steps % cfg.train.ckpt_interval == 0
             ):
@@ -347,6 +457,10 @@ class Trainer:
         self.latest_ckpt_path = ckpt_lib.save_checkpoint(
             cfg.run.ckpt_dir, self.train_state, self.training_steps
         )
+        if cfg.train.drop_straddling_games:
+            # Reference fence (pipeline.py:492-493): games in flight at the
+            # weight switch will be discarded when they finish.
+            self.accumulator.mark_all_stale()
         self.last_ckpt_games = 0
         self.last_ckpt_samples = 0
         self.logger.info(
@@ -398,10 +512,20 @@ class Trainer:
         )
 
     def run_evaluation(self) -> Optional[dict]:
-        """Evaluates the current weights; writes evaluation.csv + eval SGF."""
+        """Evaluates the current weights; writes evaluation.csv + eval SGF.
+        Multi-host: every process joins the variable gather (collective),
+        host0 alone plays the matches on its local devices — the equivalent
+        of the reference's single evaluator process (pipeline.py:678-811)."""
         if self.evaluator is None:
             return None
-        stats = self.evaluator.evaluate(self.variables)
+        variables = self.variables
+        if self.multihost:
+            from jax.experimental import multihost_utils
+
+            variables = multihost_utils.process_allgather(variables, tiled=True)
+            if not self.is_host0:
+                return None
+        stats = self.evaluator.evaluate(variables)
         moves = stats.pop("_moves", [])
         row = {"datetime": get_time_stamp(), "training_steps": self.training_steps,
                **stats}
@@ -431,6 +555,8 @@ class Trainer:
         while self.training_steps < cfg.train.max_training_steps:
             target = cfg.train.min_games if first else cfg.train.games_per_ckpt
             already = self.replay.num_games_added if first else 0
+            if self.multihost and first:
+                already = self._mh.global_game_count(already, self.mesh)
             self.selfplay_until(max(0, target - already))
             first = False
             self.train_generation()

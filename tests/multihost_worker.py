@@ -1,0 +1,80 @@
+"""Subprocess worker for the 2-process multi-host test (not a pytest file).
+
+Each process gets 2 virtual CPU devices; together they form a global
+('dp': 4, 'mdl': 1) mesh and run the full Trainer loop — globally sharded
+self-play, host-local replay, DP learner, collective orbax checkpoint —
+the topology that replaces the reference's mp.Process fleet
+(training_go.py:276-347).
+
+Usage: python multihost_worker.py <process_id> <num_processes> <port> <workdir>
+"""
+
+import os
+import sys
+
+pid, nproc, port, workdir = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4],
+)
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from alpha_zero_tpu.parallel import multihost  # noqa: E402
+
+multihost.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=nproc, process_id=pid
+)
+assert jax.process_count() == nproc, jax.process_count()
+assert jax.device_count() == 2 * nproc
+
+import dataclasses  # noqa: E402
+
+from alpha_zero_tpu.config import get_config  # noqa: E402
+from alpha_zero_tpu.training.pipeline import Trainer  # noqa: E402
+
+
+def override(cfg, **sections):
+    updates = {
+        name: dataclasses.replace(getattr(cfg, name), **fields)
+        for name, fields in sections.items()
+    }
+    return dataclasses.replace(cfg, **updates)
+
+
+cfg = override(
+    get_config("gomoku9"),
+    env=dict(board_size=5, num_to_win=4, max_steps=25, num_stack=2),
+    network=dict(num_res_blocks=1, num_filters=8, num_fc_units=8),
+    search=dict(num_simulations=4, warm_up_steps=4, reuse_subtree=True),
+    parallel=dict(selfplay_batch_size=4, dp=4, mdl=1),
+    train=dict(min_games=8, games_per_ckpt=4, batch_size=8,
+               max_training_steps=4, ckpt_interval=2, log_interval=1,
+               replay_capacity=4096, drop_straddling_games=True),
+    run=dict(ckpt_dir=os.path.join(workdir, "ckpt"),
+             logs_dir=os.path.join(workdir, f"logs{pid}"),
+             save_sgf_dir="", seed=7),
+)
+
+trainer = Trainer(cfg)
+assert trainer.multihost and trainer.mesh.shape == {"dp": 2 * nproc, "mdl": 1}
+trainer.run()
+
+# Every process must see the final step count; the checkpoint is collective.
+assert trainer.training_steps == 4, trainer.training_steps
+assert os.path.isdir(os.path.join(workdir, "ckpt", "training_steps_4"))
+
+# Resume path: restore the sharded state back into this (still-live) mesh.
+from alpha_zero_tpu.training import checkpoint as ckpt_lib  # noqa: E402
+
+restored = ckpt_lib.restore_checkpoint(
+    os.path.join(workdir, "ckpt", "training_steps_4"), trainer.train_state
+)
+assert int(restored.training_steps) == 4
+
+print(f"MULTIHOST_OK p{pid}", flush=True)
