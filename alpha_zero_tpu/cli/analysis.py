@@ -6,6 +6,7 @@ Covers the reference's ``others/`` analysis scripts:
 - ``aggregate-actors`` <- aggregate_go_actor_logs.py — merge actor CSVs
 - ``aggregate-matches`` <- aggregate_go_matches.py — match logs -> Elo table
 - ``filter-sgf`` <- filter_go_sgf.py — copy SGFs passing dataset filters
+- ``score-demo`` <- go_score_system.py — dead-stone scoring limitation demo
 """
 
 from __future__ import annotations
@@ -109,6 +110,72 @@ def cmd_filter_sgf(args) -> None:
     print(f"kept {kept}, skipped {skipped} -> {args.out_dir}")
 
 
+# End-of-game positions where Tromp-Taylor area scoring mis-scores because
+# dead stones are never removed (test data from others/go_score_system.py:
+# board, komi, human-judged black/white scores). 1 = black, -1 = white.
+_SCORE_DEMO_GAMES = [
+    ("game 1 - incorrect score", 7.5, 44, 44.5, [
+        "..XOO....", ".XXO.O...", ".X.XO.O..", "..XXOO...", "...OXXOO.",
+        "..X.XXXO.", ".....XO.O", "...X.XOO.", "....XOO..",
+    ]),
+    ("game 2 - incorrect score", 7.5, 28, 60.5, [
+        "....XXX..", ".XXXXOXXX", "X..XOOOOO", "XXXXOOOO.", "XOXOXXX.O",
+        "OOXOOOOO.", "OOO.O.OOO", ".O.OXXXOX", "O.OXXXXXX",
+    ]),
+    ("game 3 - incorrect score", 7.5, 37, 51.5, [
+        "....XXOOO", "....XOO.O", "....XXOOO", "XXX..XOO.", "XOOXXXOOO",
+        "XXOXXXXOO", "XXOOXOO.O", "OOOOXOOXO", ".O.OOOOXO",
+    ]),
+    ("game 4 - incorrect winner", 7.0, 46, 42, [
+        "..XOO....", "XX.XO.OO.", "X.XXOOXO.", ".XOOOXXXO", "XOXXOXXO.",
+        "..XXXXOO.", "...O.XO..", "....XXO..", "....XOO..",
+    ]),
+    ("game 5 - incorrect winner", 7.0, 48, 40, [
+        ".....XXO.", ".X...XO.O", "X...OXO..", "OXX..XO..", "OOX.XXOO.",
+        "..OX.XOOO", ".OOOX.XXX", "O.OX.X...", "..OXX....",
+    ]),
+    ("game 6 - incorrect winner", 7.0, 39, 49, [
+        ".OX......", "XOXX..X.X", "XOOX...XO", "X.OOXXXOO", "OOOXXOOO.",
+        "OXXOOOX..", "XX.XOO...", "..XXXO...", "...XOO...",
+    ]),
+    ("game 7 - incorrect winner", 7.0, 43, 45, [
+        ".OXX..X..", "OOOX.X.X.", ".OXXXXX..", "..OXXOX..", "..OOXOOX.",
+        "...OOOOXX", ".XO.OOX..", ".O.OXOXXX", "O.OXXXXO.",
+    ]),
+]
+
+
+def cmd_score_demo(args) -> None:
+    """Scores all demo positions in ONE vmapped device program and shows why
+    area scoring without dead-stone removal disagrees with human judgment
+    (others/go_score_system.py:80-254)."""
+    import jax
+    import numpy as np
+
+    from alpha_zero_tpu.envs.go import GoEngine
+
+    boards = np.stack([
+        np.array([[{"X": 1, "O": -1, ".": 0}[ch] for ch in row] for row in rows],
+                 np.int8)
+        for _, _, _, _, rows in _SCORE_DEMO_GAMES
+    ])
+    engine = GoEngine(board_size=9, num_stack=2)
+    blacks, whites = jax.jit(jax.vmap(engine.area_counts))(boards)
+    for (name, komi, want_b, want_w, rows), b, w in zip(
+        _SCORE_DEMO_GAMES, np.asarray(blacks), np.asarray(whites)
+    ):
+        w = float(w) + komi
+        computed = "B" if b > w else "W"
+        expected = "B" if want_b > want_w else "W"
+        print(f"\n{name} (komi {komi})")
+        print("\n".join(rows))
+        print(f"computed - black: {b:.1f}, white: {w:.1f}  (winner {computed})")
+        print(f"expected - black: {want_b}, white: {want_w}  (winner {expected})")
+    print("\nTromp-Taylor area scoring counts dead stones as alive; scores "
+          "disagree with\nhuman judgment until both players capture dead "
+          "groups or pass them out.")
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -126,6 +193,7 @@ def main(argv=None) -> None:
     p.add_argument("--out_dir", required=True)
     p.add_argument("--board_size", type=int, default=9)
     p.add_argument("--min_elo", type=int, default=2100)
+    sub.add_parser("score-demo")
     args = parser.parse_args(argv)
     {
         "params": cmd_params,
@@ -133,6 +201,7 @@ def main(argv=None) -> None:
         "aggregate-actors": cmd_aggregate_actors,
         "aggregate-matches": cmd_aggregate_matches,
         "filter-sgf": cmd_filter_sgf,
+        "score-demo": cmd_score_demo,
     }[args.cmd](args)
 
 

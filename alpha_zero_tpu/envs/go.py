@@ -270,12 +270,14 @@ class GoEngine:
     # -----------------------------------------------------------------------
     # Scoring
     # -----------------------------------------------------------------------
-    def area_score(self, board: jnp.ndarray) -> jnp.ndarray:
-        """Tromp-Taylor area score, black-perspective, *before* komi.
+    def area_counts(self, board: jnp.ndarray) -> tuple:
+        """Per-player Tromp-Taylor areas (black, white), *before* komi.
 
         Empty regions bordered only by black count for black, only-white for
         white, mixed (dame/seki) for neither — exactly ``area_score``
-        (go_engine.py:123-152), including NOT removing dead stones.
+        (go_engine.py:123-152), including NOT removing dead stones (the
+        limitation demonstrated by ``analysis score-demo`` /
+        others/go_score_system.py).
         """
         n = self.board_size
         sent = n * n
@@ -311,7 +313,12 @@ class GoEngine:
 
         black = jnp.sum(board == BLACK) + terr_black
         white = jnp.sum(board == WHITE) + terr_white
-        return (black - white).astype(jnp.float32)
+        return black.astype(jnp.float32), white.astype(jnp.float32)
+
+    def area_score(self, board: jnp.ndarray) -> jnp.ndarray:
+        """Tromp-Taylor area score, black-perspective, *before* komi."""
+        black, white = self.area_counts(board)
+        return black - white
 
     def score(self, board: jnp.ndarray) -> jnp.ndarray:
         """Black-perspective score with komi (``Position.score`` go_engine.py:509)."""
@@ -401,9 +408,9 @@ class GoEngine:
         # the played point and (b) delete captured opponent groups; no other
         # group's membership changes. Labels are min-flat-index per group, so
         # the merged group's label is min(point, adjacent friendly labels) —
-        # the same fixed point full relabeling reaches, at O(1) cost instead
-        # of O(log N^2) propagation sweeps (the reference's incremental
-        # LibertyTracker.add_stone, go_engine.py:217-262, batched).
+        # the same fixed point full relabeling reaches, in one elementwise
+        # pass instead of O(log N^2) propagation sweeps (the reference's
+        # incremental LibertyTracker.add_stone, go_engine.py:217-262, batched).
         friendly = [
             jnp.where(val == color, lab, float(sent)).astype(jnp.float32)
             for val, lab in zip(nb_vals, nb_labels)

@@ -133,10 +133,13 @@ class DatasetBuilder:
             return None
         self.matches.add(match_str)
 
+        # Cap check only — the count is charged by ``count_game`` once the
+        # game replays legally, so illegal/broken games don't consume a
+        # player's budget (reference counts during successful replay,
+        # eval_dataset.py:149-204).
         for pid in (black_id, white_id):
             if self.game_counts.get(pid, 0) > self.max_games_per_player:
                 return None
-            self.game_counts[pid] = self.game_counts.get(pid, 0) + 1
 
         from alpha_zero_tpu.utils.coords import CoordsConvertor
 
@@ -146,13 +149,19 @@ class DatasetBuilder:
         except Exception:
             return None
         winner = sgf_lib.parse_game_result(result_str)
-        return (game.komi or 0.0, flat_moves, winner, result_str)
+        return (game.komi or 0.0, flat_moves, winner, result_str,
+                (black_id, white_id))
+
+    def count_game(self, players: Tuple[str, str]) -> None:
+        """Charges a successfully-replayed game to both players' caps."""
+        for pid in players:
+            self.game_counts[pid] = self.game_counts.get(pid, 0) + 1
 
     def replay_sgf(self, sgf_file: str) -> Optional[List[Tuple[np.ndarray, np.ndarray, float]]]:
         meta = self.prefilter(sgf_file)
         if meta is None:
             return None
-        komi, flat_moves, winner, result_str = meta
+        komi, flat_moves, winner, result_str, players = meta
         game_moves = flat_moves
         env = GoEnv(board_size=self.board_size, komi=komi, num_stack=self.num_stack)
 
@@ -178,6 +187,7 @@ class DatasetBuilder:
             obs_nhwc = np.transpose(obs_chw, (1, 2, 0))
 
         self._check_mismatch(env, result_str, sgf_file)
+        self.count_game(players)
         return history
 
     def _check_mismatch(self, env: GoEnv, result_str: str, sgf_file: str) -> None:
@@ -322,13 +332,21 @@ def build_eval_dataset(games_dir: str, board_size: int, num_stack: int,
             chunk = metas[start:start + chunk_size]
             results = replay_games_batched(
                 board_size, num_stack,
-                [(k, mv, w) for k, mv, w, _ in chunk],
+                [(k, mv, w) for k, mv, w, _, _ in chunk],
                 skip_n=builder.skip_n,
             )
-            for (komi, mv, w, result_str), res in zip(chunk, results):
+            for (komi, mv, w, result_str, players), res in zip(chunk, results):
                 if res is None:
                     continue
+                # Per-player cap, charged in replay order (the batched path
+                # can't interleave cap state with prefiltering; which games
+                # hit a saturated cap may differ from the sequential path,
+                # the per-player totals do not).
+                if any(builder.game_counts.get(p, 0) > builder.max_games_per_player
+                       for p in players):
+                    continue
                 history, score = res
+                builder.count_game(players)
                 valid_games += 1
                 if not re.search(r"\+R", result_str, re.IGNORECASE):
                     builder.check_mismatch_score(score, result_str)

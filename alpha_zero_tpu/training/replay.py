@@ -112,8 +112,10 @@ class UniformReplay:
 
     def load(self, path: str) -> None:
         data = np.load(path)
-        self.set_state({k: data[k] if k.startswith("num_") is False else int(data[k])
-                        for k in ["num_games_added", "num_samples_added", "states",
-                                  "pi_probs", "values"]})
-        self.num_games_added = int(data["num_games_added"])
-        self.num_samples_added = int(data["num_samples_added"])
+        self.set_state({
+            "num_games_added": int(data["num_games_added"]),
+            "num_samples_added": int(data["num_samples_added"]),
+            "states": data["states"],
+            "pi_probs": data["pi_probs"],
+            "values": data["values"],
+        })

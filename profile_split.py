@@ -65,7 +65,11 @@ jax.block_until_ready(jax.tree_util.tree_leaves(o)[0])
 move_dt = (time.perf_counter() - t0) / iters
 print(f"full selfplay move ({sims} sims): {move_dt*1e3:.1f} ms "
       f"= {move_dt/sims*1e3:.3f} ms/sim")
+# NOTE: eng_dt is the GAME-level step (num_stack=8 history planes); in-tree
+# MCTS steps use with_num_stack(1) and are cheaper — see profile_tree.py for
+# the true per-sim engine share.
 print(f"shares per sim: nn {nn_dt*1e3:.3f} ms ({nn_dt/(move_dt/sims)*100:.0f}%), "
-      f"engine {eng_dt*1e3:.3f} ms ({eng_dt/(move_dt/sims)*100:.0f}%), "
-      f"tree/other {(move_dt/sims - nn_dt - eng_dt)*1e3:.3f} ms")
+      f"game-level engine step {eng_dt*1e3:.3f} ms "
+      f"(in-tree step is cheaper; see profile_tree.py), "
+      f"non-nn residual {(move_dt/sims - nn_dt)*1e3:.3f} ms/sim")
 print(f"env-steps/s at B={batch}: {batch/move_dt:.0f}")
