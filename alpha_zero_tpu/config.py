@@ -149,6 +149,11 @@ class ParallelConfig:
     coordinator_address: str = ""  # "" = single host
     num_processes: int = 0         # 0 = from the coordinator
     process_id: int = -1           # -1 = auto
+    # Multi-host generation-fence cadence: the cross-host game-count allgather
+    # + threshold broadcast runs every this many self-play steps (per-step
+    # fencing would gate the fleet on DCN control-plane latency; the
+    # reference fences per finished game, pipeline.py:485-497).
+    fence_interval: int = 8
 
 
 @dataclasses.dataclass(frozen=True)
@@ -163,11 +168,17 @@ class AlphaZeroConfig:
 
 
 def go9() -> AlphaZeroConfig:
-    """9x9 Go trained config (reference training_go.py defaults)."""
+    """9x9 Go trained config (reference training_go.py defaults).
+
+    Subtree reuse is ON like the reference (mcts_v2.py:643-653 always
+    re-roots); ``max_new_sims=120`` is the throughput lever reuse buys
+    (bench: +38% env-steps/s vs reuse off) — strength tradeoff measured by
+    head-to-head matches in PERF.md."""
     return AlphaZeroConfig(
         env=EnvConfig(game="go", board_size=9, komi=7.5, num_stack=8),
         network=NetworkConfig(num_res_blocks=10, num_filters=128, num_fc_units=128),
-        search=SearchConfig(num_simulations=200, warm_up_steps=16),
+        search=SearchConfig(num_simulations=200, warm_up_steps=16,
+                            reuse_subtree=True, max_new_sims=120),
         resign=ResignConfig(),
         train=TrainConfig(),
         run=RunConfig(ckpt_dir="./checkpoints/go/9x9", logs_dir="./logs/go/9x9"),
@@ -179,7 +190,8 @@ def go19_jumbo() -> AlphaZeroConfig:
     return AlphaZeroConfig(
         env=EnvConfig(game="go", board_size=19, komi=7.5, num_stack=8),
         network=NetworkConfig(num_res_blocks=19, num_filters=256, num_fc_units=256),
-        search=SearchConfig(num_simulations=800, warm_up_steps=30),
+        search=SearchConfig(num_simulations=800, warm_up_steps=30,
+                            reuse_subtree=True, max_new_sims=480),
         resign=ResignConfig(check_resign_after_steps=80),
         train=TrainConfig(
             min_games=50_000,
@@ -200,7 +212,10 @@ def gomoku13() -> AlphaZeroConfig:
     return AlphaZeroConfig(
         env=EnvConfig(game="gomoku", board_size=13, num_stack=8, num_to_win=5),
         network=NetworkConfig(num_res_blocks=10, num_filters=40, num_fc_units=80, gomoku=True),
-        search=SearchConfig(num_simulations=380, warm_up_steps=16),
+        # Reuse on (reference always re-roots); no sim cap — full budget per
+        # move, reuse just carries the subtree (strength-neutral).
+        search=SearchConfig(num_simulations=380, warm_up_steps=16,
+                            reuse_subtree=True),
         resign=ResignConfig(init_resign_threshold=-1.0, check_resign_after_steps=0,
                             target_fp_rate=0.0, disable_resign_ratio=0.0,
                             reset_fp_interval=0, no_resign_games=0),

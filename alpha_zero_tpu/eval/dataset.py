@@ -135,8 +135,10 @@ class DatasetBuilder:
 
         # Cap check only — the count is charged by ``count_game`` once the
         # game replays legally, so illegal/broken games don't consume a
-        # player's budget (reference counts during successful replay,
-        # eval_dataset.py:149-204).
+        # player's budget. Deliberate deviation: the reference charges
+        # GAME_COUNTS at prefilter time, before replay (eval_dataset.py:136-143),
+        # so games that later fail replay still consume budget there; near a
+        # saturated cap the two schemes can select different game sets.
         for pid in (black_id, white_id):
             if self.game_counts.get(pid, 0) > self.max_games_per_player:
                 return None

@@ -87,11 +87,18 @@ def global_to_local(global_tree: Any) -> Any:
     (ordered by global row index — each host owns one contiguous block)."""
 
     def f(x):
-        shards = sorted(
-            x.addressable_shards,
-            key=lambda s: s.index[0].start if s.index[0].start is not None else 0,
+        # Batch arrays are sharded P('dp') on a ('dp', 'mdl') mesh, so with
+        # mdl > 1 every row block is REPLICATED across the mdl axis and shows
+        # up once per mdl device with an identical index — keep exactly one
+        # shard per distinct row-start or the local batch gets duplicated
+        # (and misordered) rows.
+        uniq = {}
+        for s in x.addressable_shards:
+            start = s.index[0].start if s.index[0].start is not None else 0
+            uniq.setdefault(start, s)
+        return np.concatenate(
+            [np.asarray(uniq[start].data) for start in sorted(uniq)], axis=0
         )
-        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
     return jax.tree.map(f, global_tree)
 
@@ -104,6 +111,54 @@ def replicate_to_global(mesh: Mesh, tree: Any) -> Any:
     def f(x):
         x = np.asarray(x)
         return jax.make_array_from_process_local_data(sharding, x, x.shape)
+
+    return jax.tree.map(f, tree)
+
+
+def global_sum(local_values, mesh: Optional[Mesh] = None) -> np.ndarray:
+    """Element-wise sum of a small int64 vector across processes (one
+    allgather). Used by the generation fence to move the per-step counters —
+    finished games, resign-marked, could-have-won — in a single collective
+    every ``fence_interval`` steps instead of one allgather per step
+    (the reference's fence granularity is per-queue-item, pipeline.py:485-497).
+    A collective: every process must call it at the same point."""
+    arr = np.atleast_1d(np.asarray(local_values, np.int64))
+    if jax.process_count() == 1:
+        return arr
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(arr)
+    return np.sum(gathered, axis=0)
+
+
+def host_resident_value(tree: Any) -> Any:
+    """Reassembles full host-numpy arrays from THIS host's addressable shards
+    — no collective. Valid when every host holds a complete copy, i.e. the
+    arrays are replicated over 'dp' and sharded at most over 'mdl' (the
+    trainer's parameter layout: each host's chips span all 'mdl' columns).
+    Lets host0 evaluate from resident weights instead of dragging every
+    process through a params allgather (reference evaluator reads a ckpt
+    file instead, pipeline.py:760-763)."""
+
+    def f(x):
+        out = np.empty(x.shape, x.dtype)
+        seen = set()
+        covered = 0
+        for s in x.addressable_shards:
+            key = tuple((sl.start, sl.stop) for sl in s.index)
+            if key in seen:
+                continue
+            seen.add(key)
+            data = np.asarray(s.data)
+            out[s.index] = data
+            covered += data.size
+        if covered != x.size:
+            raise ValueError(
+                f"array of shape {x.shape} is not fully host-resident "
+                f"({covered}/{x.size} elements addressable); it must be "
+                "replicated over 'dp' to evaluate from resident weights"
+            )
+        return out
 
     return jax.tree.map(f, tree)
 

@@ -71,7 +71,10 @@ class Tree:
 
     node_N: jnp.ndarray          # f32[T] visits of the edge into each node
     node_W: jnp.ndarray          # f32[T] value sum (node-player perspective)
-    child_P: jnp.ndarray         # f32[T, A] child priors per node
+    child_P: jnp.ndarray         # f32[T, A] child priors per node; -1.0 marks
+    #                              ILLEGAL actions (select reads one row for
+    #                              both prior and legality — the node's legal
+    #                              mask never changes after creation)
     children_index: jnp.ndarray  # f32[T, A]; node id of child, -1 unmaterialized
     #                              (float-native: exact small ints, avoids
     #                               whole-array converts in the select loop)
@@ -107,22 +110,9 @@ def _oh(idx: jnp.ndarray, size: int) -> jnp.ndarray:
     return (jnp.arange(size, dtype=jnp.int32) == idx).astype(jnp.float32)
 
 
-def _row(matrix: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """matrix[idx] for f32 [T, A] via one-hot matvec."""
-    return _oh(idx, matrix.shape[0]) @ matrix
-
-
 def _elem(vec: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """vec[idx] (f32) via one-hot dot; 0 when idx out of range."""
     return _oh(idx, vec.shape[0]) @ vec
-
-
-def _gather_by_index_vector(vec: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """vec[idx[k]] for an index vector -> [K] via one-hot matmul; entries with
-    idx out of [0, len(vec)) read 0."""
-    size = vec.shape[0]
-    oh = (idx[:, None] == jnp.arange(size, dtype=jnp.int32)[None, :]).astype(jnp.float32)
-    return oh @ vec
 
 
 def _matmul_state(states: GameState, m_f: jnp.ndarray, capacity: int,
@@ -154,45 +144,74 @@ def _matmul_state(states: GameState, m_f: jnp.ndarray, capacity: int,
 
 
 def _gather_state(states: GameState, idx: jnp.ndarray, capacity: int) -> GameState:
-    """states[idx] via one-hot matmuls (exact for small-int payloads)."""
-    oh = _oh(idx, capacity)
-    out = _matmul_state(states, oh[None, :], capacity)
-    return jax.tree.map(lambda leaf: leaf.reshape(leaf.shape[1:]), out)
+    """states[idx] as a masked reduction (one predicated pass over each [T,...]
+    leaf — measured much faster on TPU than the int8 MXU dot path, which does
+    not hit the fast fusion)."""
+    oh = jnp.arange(capacity, dtype=jnp.int32) == idx
+
+    def g(leaf):
+        flat = leaf.reshape(capacity, -1)
+        if jnp.issubdtype(leaf.dtype, jnp.integer) or leaf.dtype == jnp.bool_:
+            row = jnp.where(oh[:, None], flat, 0).sum(0, dtype=jnp.int32)
+            row = row.astype(leaf.dtype)
+        else:
+            row = jnp.where(oh[:, None], flat, 0).sum(0, dtype=leaf.dtype)
+        return row.reshape(leaf.shape[1:])
+
+    return jax.tree.map(g, states)
 
 
-def _leaf_history(tree: Tree, parent: jnp.ndarray, depth: jnp.ndarray,
-                  new_board: jnp.ndarray, num_stack: int) -> jnp.ndarray:
-    """Rebuilds the leaf's [S, N, N] board history (latest first) from the
-    tree: plane 0 is the leaf's own board; planes 1..S-1 come from ancestor
-    boards (walked via parent pointers) while they exist, then from the
-    root's pre-search history. All fetches are one-hot matvecs.
+def _leaf_history_batch(tree: Tree, parent: jnp.ndarray, depth: jnp.ndarray,
+                        new_board: jnp.ndarray, num_stack: int) -> jnp.ndarray:
+    """Rebuilds every leaf's [S, N, N] board history (latest first), batched.
 
-    The leaf sits at depth ``depth``; ancestor hop k reaches depth-k, so
-    plane k uses the tree for k <= depth and root_history[k - depth] beyond.
+    Plane 0 is the leaf's own board; planes 1..S-1 come from ancestor boards
+    (walked via parent pointers) while they exist (hop k <= depth), then from
+    the root's pre-search history (``root_history[k - depth]``).
+
+    Two-phase structure keeps HBM traffic at ONE pass over the tree's boards
+    per simulation: first the (cheap, [B, T]-sized) parent-pointer walk
+    collects all S-1 ancestor slot ids, then a single masked one-hot
+    contraction pulls every ancestor plane out of ``states.board`` at once —
+    instead of S-1 separate full-array sweeps.
     """
     if num_stack == 1:
-        return new_board[None]
-    capacity = tree.node_N.shape[0]
+        return new_board[:, None]
+    batch, capacity = tree.node_N.shape
     n = new_board.shape[-1]
-    boards_f = tree.states.board.reshape(capacity, -1).astype(jnp.float32)
-    s_iota = jnp.arange(num_stack, dtype=jnp.float32)
+    t_iota = jnp.arange(capacity, dtype=jnp.int32)
 
-    planes = [new_board]
-    walk = parent.astype(jnp.float32)
-    for k in range(1, num_stack):
-        from_tree = (
-            (_oh(walk.astype(jnp.int32), capacity) @ boards_f)
-            .reshape(n, n).astype(jnp.int8)
-        )
-        rh_idx = jnp.clip(k - depth, 0, num_stack - 1).astype(jnp.float32)
-        oh_s = (s_iota == rh_idx).astype(jnp.float32)
-        from_root = (
-            (oh_s @ tree.root_history.reshape(num_stack, -1).astype(jnp.float32))
-            .reshape(n, n).astype(jnp.int8)
-        )
-        planes.append(jnp.where(k <= depth, from_tree, from_root))
-        walk = _elem(tree.parent_index, walk.astype(jnp.int32))
-    return jnp.stack(planes)
+    # Phase 1: ancestor ids [B, S-1] via S-2 tiny [B, T] one-hot matvecs.
+    ids = [parent.astype(jnp.float32)]
+    for _ in range(2, num_stack):
+        walk_i = jnp.clip(ids[-1], 0.0, capacity - 1).astype(jnp.int32)
+        oh = (t_iota[None, :] == walk_i[:, None]).astype(jnp.float32)
+        nxt = jnp.einsum("bt,bt->b", oh, tree.parent_index)
+        ids.append(jnp.where(ids[-1] >= 0, nxt, -1.0))
+    anc = jnp.stack(ids, axis=1)  # f32 [B, S-1]; hop k-1 = depth of plane k
+
+    # Phase 2: one masked contraction per source.
+    ks = jnp.arange(1, num_stack, dtype=jnp.int32)  # plane index of each hop
+    from_tree_mask = (ks[None, :] <= depth[:, None]) & (anc >= 0)
+    anc_i = jnp.clip(anc, 0.0, capacity - 1).astype(jnp.int32)
+    oh_tree = (
+        (anc_i[:, :, None] == t_iota[None, None, :]) & from_tree_mask[:, :, None]
+    ).astype(jnp.float32)
+    boards_f = tree.states.board.reshape(batch, capacity, -1).astype(jnp.float32)
+    tree_planes = jnp.einsum("bst,btx->bsx", oh_tree, boards_f)
+
+    rh_idx = jnp.clip(ks[None, :] - depth[:, None], 0, num_stack - 1)
+    oh_root = (
+        (rh_idx[:, :, None] == jnp.arange(num_stack, dtype=jnp.int32)[None, None, :])
+        & ~from_tree_mask[:, :, None]
+    ).astype(jnp.float32)
+    roots_f = tree.root_history.reshape(batch, num_stack, -1).astype(jnp.float32)
+    root_planes = jnp.einsum("bsr,brx->bsx", oh_root, roots_f)
+
+    older = (tree_planes + root_planes).astype(jnp.int8).reshape(
+        batch, num_stack - 1, n, n
+    )
+    return jnp.concatenate([new_board[:, None], older], axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -210,7 +229,7 @@ def _make_empty_tree(root_state: GameState, root_history: jnp.ndarray,
     return Tree(
         node_N=jnp.zeros((capacity,), jnp.float32),
         node_W=jnp.zeros((capacity,), jnp.float32),
-        child_P=jnp.zeros((capacity, num_actions), jnp.float32),
+        child_P=jnp.full((capacity, num_actions), -1.0, jnp.float32),
         children_index=jnp.full((capacity, num_actions), -1.0, jnp.float32),
         parent_index=jnp.full((capacity,), -1.0, jnp.float32),
         action_from_parent=jnp.full((capacity,), -1.0, jnp.float32),
@@ -236,13 +255,15 @@ def make_empty_trees(engine, root_states: GameState, num_simulations: int) -> Tr
 def _init_root(tree: Tree, prior: jnp.ndarray, value: jnp.ndarray) -> Tree:
     """Expands + backs up the root IF it is fresh (mcts_v2.py:363-368); a
     reused root keeps its carried stats and skips the evaluation entirely
-    (mcts_v2.py:366: root creation only `if root_node is None`)."""
+    (mcts_v2.py:366: root creation only `if root_node is None`). The stored
+    prior keeps the -1 illegal sentinel (see Tree.child_P)."""
     fresh = ~tree.node_expanded[0]
+    prior_sel = jnp.where(tree.states.legal[0] > 0.5, prior, -1.0)
     return tree.replace(
         node_N=tree.node_N.at[0].set(jnp.where(fresh, 1.0, tree.node_N[0])),
         node_W=tree.node_W.at[0].set(jnp.where(fresh, value, tree.node_W[0])),
         child_P=tree.child_P.at[0].set(
-            jnp.where(fresh, prior, tree.child_P[0])
+            jnp.where(fresh, prior_sel, tree.child_P[0])
         ),
         node_expanded=tree.node_expanded.at[0].set(True),
     )
@@ -255,9 +276,12 @@ def _add_dirichlet_noise(tree: Tree, rng: jax.Array, eps: float, alpha: float) -
     carried priors each call, mcts_v2.py:376-378)."""
     num_actions = tree.child_P.shape[-1]
     noise = jax.random.dirichlet(rng, jnp.full((num_actions,), alpha, jnp.float32))
+    legal = tree.states.legal[0] > 0.5
     noise = noise * tree.states.legal[0]
-    new_p = tree.child_P[0] * (1.0 - eps) + noise * eps
-    return tree.replace(child_P=tree.child_P.at[0].set(new_p))
+    new_p = jnp.maximum(tree.child_P[0], 0.0) * (1.0 - eps) + noise * eps
+    return tree.replace(
+        child_P=tree.child_P.at[0].set(jnp.where(legal, new_p, -1.0))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -269,6 +293,11 @@ def _select_leaf(tree: Tree, path_cap: int, c_puct_base: float,
                  c_puct_init: float):
     """Descends by PUCT until an unmaterialized edge or a terminal node.
 
+    Per descent step, TWO one-hot row fetches over [T, A] arrays (the masked
+    prior ``child_P`` with its -1 illegal sentinel doubles as the legality
+    mask, saving a third full-array read) plus small [T]-vector lookups for
+    child stats.
+
     The visited path is recorded as two dense [T] one-hot accumulators split
     by depth parity (``even``/``odd``) — no per-lane indexed writes, and the
     sign-alternating backup becomes pure vector arithmetic.
@@ -278,6 +307,7 @@ def _select_leaf(tree: Tree, path_cap: int, c_puct_base: float,
     leaf's depth).
     """
     capacity = tree.node_N.shape[0]
+    t_iota = jnp.arange(capacity, dtype=jnp.int32)
 
     def cond(carry):
         _, _, _, _, stop, depth, _, _ = carry
@@ -285,31 +315,40 @@ def _select_leaf(tree: Tree, path_cap: int, c_puct_base: float,
 
     def body(carry):
         cur, n_cur, _, _, _, depth, even, odd = carry
-        # PUCT over cur's children (mcts_v2.py:99-109, 142-186).
-        ci_row = _row(tree.children_index, cur)  # f32 child ids, -1 = none
-        p_row = _row(tree.child_P, cur)
-        legal_row = _row(tree.states.legal, cur) > 0.5
-        c_n = jnp.where(ci_row >= 0, _gather_by_index_vector(tree.node_N, ci_row), 0.0)
-        c_w = jnp.where(ci_row >= 0, _gather_by_index_vector(tree.node_W, ci_row), 0.0)
+        cur_oh = (t_iota == cur).astype(jnp.float32)
+        # PUCT over cur's children (mcts_v2.py:99-109, 142-186). The stored
+        # prior is -1 on illegal actions (see _mask_prior), so one row fetch
+        # yields both the prior and the legality mask.
+        ci_row = cur_oh @ tree.children_index  # f32 child ids, -1 = none
+        p_row = cur_oh @ tree.child_P
+        legal_row = p_row >= 0.0
+        ci_i = jnp.clip(ci_row, 0.0, capacity - 1).astype(jnp.int32)
+        has_child = ci_row >= 0
+        oh_c = (ci_i[:, None] == t_iota[None, :]).astype(jnp.float32)
+        c_n = jnp.where(has_child, oh_c @ tree.node_N, 0.0)
+        c_w = jnp.where(has_child, oh_c @ tree.node_W, 0.0)
 
         pb_c = jnp.log((1.0 + n_cur + c_puct_base) / c_puct_base) + c_puct_init
-        u = pb_c * p_row * (jnp.sqrt(n_cur) / (1.0 + c_n))
+        u = pb_c * jnp.maximum(p_row, 0.0) * (jnp.sqrt(n_cur) / (1.0 + c_n))
         q = c_w / jnp.maximum(c_n, 1.0)
         scores = jnp.where(legal_row, -q + u, -9999.0)
         action = jnp.argmax(scores).astype(jnp.int32)
 
-        child = (_oh(action, scores.shape[0]) @ ci_row).astype(jnp.int32)
+        a_oh = (jnp.arange(scores.shape[0], dtype=jnp.int32) == action).astype(
+            jnp.float32
+        )
+        child = (a_oh @ ci_row).astype(jnp.int32)
+        child_c = jnp.clip(child, 0, capacity - 1)
+        child_oh = (t_iota == child_c).astype(jnp.float32)
         is_new = child < 0
-        is_term = ~is_new & (_elem(tree.node_done,
-                                   jnp.clip(child, 0, capacity - 1)) > 0.5)
+        is_term = ~is_new & ((child_oh @ tree.node_done) > 0.5)
         stop = is_new | is_term
         # Record cur at this depth into the parity accumulators (dense add).
-        cur_oh = _oh(cur, capacity)
         is_even = (depth % 2) == 0
         even = even + jnp.where(is_even, 1.0, 0.0) * cur_oh
         odd = odd + jnp.where(is_even, 0.0, 1.0) * cur_oh
-        nxt = jnp.where(stop, cur, jnp.clip(child, 0, capacity - 1))
-        child_n = _elem(tree.node_N, jnp.clip(child, 0, capacity - 1))
+        nxt = jnp.where(stop, cur, child_c)
+        child_n = child_oh @ tree.node_N
         nxt_n = jnp.where(stop, n_cur, child_n)
         return (nxt, nxt_n, action, child, stop, depth + 1, even, odd)
 
@@ -584,10 +623,6 @@ def batched_search(
     materialize = jax.vmap(_materialize)
     expand_backup = jax.vmap(_expand_backup)
 
-    leaf_hist = jax.vmap(
-        functools.partial(_leaf_history, num_stack=num_stack)
-    )
-
     def sim_body(i, trees):
         active = trees.node_N[:, 0] < float(num_simulations)
         slot = trees.num_nodes.astype(jnp.int32)
@@ -597,11 +632,14 @@ def batched_search(
         trees, leaf, needs_eval = materialize(
             trees, slot, parent, action, child, hit_term, active, new_states
         )
-        history = leaf_hist(trees, parent, depth, new_states.board)
+        history = _leaf_history_batch(trees, parent, depth, new_states.board,
+                                      num_stack)
         obs = jax.vmap(engine.observation_from)(history, new_states.to_play)
         prior, value = eval_fn(obs)
+        # Keep the -1 illegal sentinel in the stored prior (Tree.child_P).
+        prior_sel = jnp.where(new_states.legal > 0.5, prior, -1.0)
         return expand_backup(trees, slot, leaf, needs_eval, active, even, odd,
-                             depth, prior, value)
+                             depth, prior_sel, value)
 
     loop_len = num_simulations - 1 if max_new_sims is None else max_new_sims
     trees = jax.lax.fori_loop(0, loop_len, sim_body, trees)

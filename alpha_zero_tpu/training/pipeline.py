@@ -123,18 +123,54 @@ class ResignController:
             and self.resign_count % adjust_every == 0
         ):
             self.last_resign_count = self.resign_count
-            fp_rate = 0.0 if self.resign_count == 0 else round(
-                self.could_won_count / self.resign_count, 4
+            self._adjust()
+
+    def _adjust(self) -> None:
+        cfg = self.cfg
+        fp_rate = 0.0 if self.resign_count == 0 else round(
+            self.could_won_count / self.resign_count, 4
+        )
+        new_threshold = maybe_adjust_resign_threshold(
+            self.threshold, fp_rate, cfg.target_fp_rate
+        )
+        if new_threshold != self.threshold:
+            self.logger.info(
+                f"Resignation FP {fp_rate} vs target {cfg.target_fp_rate}: "
+                f"threshold {self.threshold} -> {new_threshold}"
             )
-            new_threshold = maybe_adjust_resign_threshold(
-                self.threshold, fp_rate, cfg.target_fp_rate
-            )
-            if new_threshold != self.threshold:
-                self.logger.info(
-                    f"Resignation FP {fp_rate} vs target {cfg.target_fp_rate}: "
-                    f"threshold {self.threshold} -> {new_threshold}"
-                )
-                self.threshold = new_threshold
+            self.threshold = new_threshold
+
+    def on_games_global(self, num_marked: int, num_could_won: int,
+                        games_before: int, games_after: int) -> None:
+        """Batched multi-host update: host0 applies the GLOBAL game stream's
+        statistics at fence granularity — all hosts' marked/could-won counts
+        are aggregated (one allgather per fence), so the controller samples
+        the full stream like the reference's single learner (pipeline.py:
+        519-553) instead of host0's 1/N slice. Reset/adjust crossings are
+        evaluated on count windows, matching the per-game cadence up to one
+        fence interval of slack."""
+        cfg = self.cfg
+        if not cfg.enabled or games_after < cfg.no_resign_games:
+            return
+        self.resign_count += num_marked
+        self.could_won_count += num_could_won
+        crossed_start = games_before < cfg.no_resign_games <= games_after
+        crossed_reset = cfg.reset_fp_interval > 0 and (
+            games_after // cfg.reset_fp_interval
+            > max(games_before, cfg.no_resign_games) // cfg.reset_fp_interval
+        )
+        if crossed_start or crossed_reset:
+            self.resign_count = self.last_resign_count = self.could_won_count = 0
+            self.threshold = cfg.init_resign_threshold
+            self.logger.info(f"Reset resignation threshold to {self.threshold}")
+            return
+        adjust_every = int(self.games_per_ckpt * 0.5 * cfg.disable_resign_ratio * 0.5)
+        if (
+            adjust_every > 0
+            and self.resign_count - self.last_resign_count >= adjust_every
+        ):
+            self.last_resign_count = self.resign_count
+            self._adjust()
 
 
 class Trainer:
@@ -277,6 +313,14 @@ class Trainer:
             self.replay.load(cfg.run.load_replay)
             self.logger.info(f"Loaded replay state from {cfg.run.load_replay}")
 
+        # Global (all-host) finished-game count, advanced by the fence; seeds
+        # the resignation controller's global cadence after a replay resume.
+        self.global_games_added = self.replay.num_games_added
+        if self.multihost:
+            self.global_games_added = int(
+                self._mh.global_sum(self.replay.num_games_added, self.mesh)[0]
+            )
+
     # ------------------------------------------------------------------
     @property
     def variables(self):
@@ -297,6 +341,16 @@ class Trainer:
         new_games = 0
         steps = 0
         threshold = jnp.float32(self.resign_controller.threshold)
+        # Multi-host: the generation fence (global game count + threshold
+        # broadcast) runs every ``fence_interval`` steps, not every step — on
+        # real DCN a per-step host round-trip would gate the whole fleet on
+        # control-plane latency. Between fences each host accumulates its
+        # finished/marked/could-won counters locally; ``new_games`` only
+        # advances at fences, so every process exits this loop on the same
+        # step. (The reference's fence granularity is per-queue-item, i.e.
+        # per finished game, pipeline.py:485-497.)
+        fence_k = max(1, cfg.parallel.fence_interval)
+        pending = [0, 0, 0]  # finished, resign-marked, could-have-won
         while new_games < target_new_games:
             with self.timer:
                 self.sp_state, out = self.selfplay_step(
@@ -318,12 +372,19 @@ class Trainer:
                 for game in finished:
                     game.stats.pop("stale", None)
             for game in finished:
-                new_games += 1
                 self.played_games += 1
                 self.last_ckpt_games += 1
                 self.last_ckpt_samples += game.stats["game_length"]
                 self.replay.add_game(game.states, game.pi_probs, game.values)
-                self.resign_controller.on_game(game.stats, self.replay.num_games_added)
+                if self.multihost:
+                    pending[0] += 1
+                    pending[1] += int(game.stats["is_marked_for_resign"])
+                    pending[2] += int(game.stats["is_could_won"])
+                else:
+                    new_games += 1
+                    self.resign_controller.on_game(
+                        game.stats, self.replay.num_games_added
+                    )
 
                 row = {
                     "datetime": get_time_stamp(),
@@ -360,21 +421,37 @@ class Trainer:
                 ):
                     self.replay.save(self._replay_path)
 
-            if self.multihost:
-                # Generation fence: count games globally so every process
-                # flips from self-play to training on the same step, and use
-                # host0's threshold (one-step lag on mid-collection updates).
-                new_games += self._mh.global_game_count(
-                    len(finished), self.mesh
-                ) - len(finished)
-                self.resign_controller.threshold = self._mh.broadcast_from_host0(
-                    self.resign_controller.threshold, self.mesh
-                )
+            if self.multihost and steps % fence_k == 0:
+                new_games += self._fence(pending)
+                pending = [0, 0, 0]
             # Threshold may have moved mid-collection.
             threshold = jnp.float32(self.resign_controller.threshold)
             if max_steps is not None and steps >= max_steps:
                 break
+        # Flush counters the final (partial) fence window left behind. The
+        # condition depends only on the lockstep ``steps``, so every process
+        # joins this collective together.
+        if self.multihost and steps % fence_k != 0:
+            new_games += self._fence(pending)
         return new_games
+
+    def _fence(self, pending) -> int:
+        """One fence collective: sums [finished, marked, could-won] across
+        hosts, feeds the GLOBAL stream to host0's resignation controller, and
+        broadcasts host0's threshold back. Returns the global finished-game
+        delta."""
+        totals = self._mh.global_sum(pending, self.mesh)
+        delta = int(totals[0])
+        before = self.global_games_added
+        self.global_games_added = before + delta
+        if self.is_host0:
+            self.resign_controller.on_games_global(
+                int(totals[1]), int(totals[2]), before, self.global_games_added
+            )
+        self.resign_controller.threshold = self._mh.broadcast_from_host0(
+            self.resign_controller.threshold, self.mesh
+        )
+        return delta
 
     def _save_sgf(self, game: selfplay_lib.FinishedGame) -> None:
         from collections import namedtuple
@@ -513,18 +590,18 @@ class Trainer:
 
     def run_evaluation(self) -> Optional[dict]:
         """Evaluates the current weights; writes evaluation.csv + eval SGF.
-        Multi-host: every process joins the variable gather (collective),
-        host0 alone plays the matches on its local devices — the equivalent
-        of the reference's single evaluator process (pipeline.py:678-811)."""
+        Multi-host: host0 alone reassembles the weights from its RESIDENT
+        addressable shards (params are dp-replicated, so every host holds a
+        full copy — no allgather, no other process involved) and plays the
+        matches on its local devices — the equivalent of the reference's
+        single evaluator process (pipeline.py:678-811)."""
         if self.evaluator is None:
             return None
         variables = self.variables
         if self.multihost:
-            from jax.experimental import multihost_utils
-
-            variables = multihost_utils.process_allgather(variables, tiled=True)
             if not self.is_host0:
                 return None
+            variables = self._mh.host_resident_value(variables)
         stats = self.evaluator.evaluate(variables)
         moves = stats.pop("_moves", [])
         row = {"datetime": get_time_stamp(), "training_steps": self.training_steps,

@@ -54,6 +54,9 @@ class StepOutput(NamedTuple):
     move: jnp.ndarray           # [B] i32 (RESIGN == -1)
     root_q: jnp.ndarray         # [B] f32
     best_child_q: jnp.ndarray   # [B] f32
+    root_visits: jnp.ndarray    # [B] f32; root N when the budget ended —
+    #                             carried (reuse) + new sims; < num_simulations
+    #                             means max_new_sims cut this lane short
     # Game-completion info (valid where done):
     done: jnp.ndarray           # [B] bool
     winner: jnp.ndarray         # [B] i8
@@ -126,6 +129,14 @@ def make_selfplay_step(
     disable_ratio = resign_cfg.disable_resign_ratio
     reuse = getattr(search_cfg, "reuse_subtree", False)
     max_new_sims = getattr(search_cfg, "max_new_sims", None)
+    if max_new_sims is not None and not reuse:
+        # Without reuse every tree is fresh and needs the full
+        # num_simulations - 1 loop; a smaller cap would silently truncate
+        # every search below budget and skew the visit-count policy.
+        raise ValueError(
+            "search.max_new_sims requires search.reuse_subtree=True "
+            f"(got max_new_sims={max_new_sims} with reuse off)"
+        )
     warm_temp = getattr(search_cfg, "warm_up_temperature", 1.0)
     final_temp = getattr(search_cfg, "temperature", 0.1)
 
@@ -196,6 +207,7 @@ def make_selfplay_step(
             move=move,
             root_q=result.root_Q,
             best_child_q=best_q,
+            root_visits=1.0 + result.child_N.sum(-1),
             done=done,
             winner=stepped.winner,
             resigned=stepped.resigned,

@@ -1,5 +1,10 @@
 """Board coordinate conversions (host-side, I/O only — never on the hot path).
 
+The conversion rules (and hence the method shapes) follow Google's Minigo
+``coords.py`` (Apache License 2.0, Copyright 2018 Google LLC), which the
+reference vendors as ``alpha_zero/envs/coords.py``; this module keeps the
+same conventions so SGF/GTP output is byte-compatible.
+
 Coordinate systems (parity with reference ``alpha_zero/envs/coords.py:15-91``):
 
 - grid coordinate: ``(row, col)`` indexed from the upper-left ``(0, 0)``.

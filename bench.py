@@ -5,9 +5,17 @@ trained reference configuration — 200 MCTS simulations per move, 10-block x
 128-filter network — against the reference fleet baseline of ~418 env-steps/s
 (113 actor processes on a 128-CPU + 8x RTX 3090 server; BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Budget-proof output: a JSON result line is printed (and flushed) after EVERY
+timed step, so even if the driver kills this process mid-run the last line on
+stdout is a valid partial measurement. The final line is the full-precision
+result. Uses the persistent compile cache in .jax_cache — run once after any
+search-code change to re-warm it.
+
+Env knobs: BENCH_CONFIG (go9|gomoku13|go19_jumbo), BENCH_BATCH, BENCH_SIMS,
+BENCH_STEPS, BENCH_WARMUP, BENCH_REUSE (0/1), BENCH_MAX_NEW_SIMS.
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -26,20 +34,30 @@ BASELINE_ENV_STEPS_PER_S = 418.0  # logs/go/9x9/run.log fleet throughput
 
 
 def main() -> None:
-    batch = int(os.environ.get("BENCH_BATCH", "1024"))
-    num_sims = int(os.environ.get("BENCH_SIMS", "200"))
-    warmup_steps = int(os.environ.get("BENCH_WARMUP", "2"))
-    timed_steps = int(os.environ.get("BENCH_STEPS", "8"))
-
     from alpha_zero_tpu import config as config_lib
     from alpha_zero_tpu.models.resnet import build_network
     from alpha_zero_tpu.training import selfplay as selfplay_lib
     from alpha_zero_tpu.training.pipeline import build_engine
 
-    cfg = config_lib.go9()
-    search_cfg = config_lib.SearchConfig(
+    config_name = os.environ.get("BENCH_CONFIG", "go9")
+    cfg = config_lib.get_config(config_name)
+    batch = int(os.environ.get("BENCH_BATCH",
+                               str(cfg.parallel.selfplay_batch_size)))
+    num_sims = int(os.environ.get("BENCH_SIMS", str(cfg.search.num_simulations)))
+    warmup_steps = int(os.environ.get("BENCH_WARMUP", "1"))
+    timed_steps = int(os.environ.get("BENCH_STEPS", "8"))
+    reuse = bool(int(os.environ.get("BENCH_REUSE",
+                                    "1" if cfg.search.reuse_subtree else "0")))
+    mns_env = os.environ.get("BENCH_MAX_NEW_SIMS", "")
+    max_new_sims = int(mns_env) if mns_env else (
+        cfg.search.max_new_sims if reuse else None
+    )
+
+    search_cfg = dataclasses.replace(
+        cfg.search,
         num_simulations=num_sims,
-        warm_up_steps=cfg.search.warm_up_steps,
+        reuse_subtree=reuse,
+        max_new_sims=max_new_sims if reuse else None,
     )
     engine = build_engine(cfg.env)
     net = build_network(cfg.env, cfg.network)
@@ -53,40 +71,57 @@ def main() -> None:
     sp = selfplay_lib.init_selfplay_state(
         engine, batch, jax.random.PRNGKey(1),
         resign_threshold=-1.0, disable_resign_ratio=cfg.resign.disable_resign_ratio,
+        reuse_num_simulations=num_sims if reuse else None,
     )
 
     threshold = jnp.float32(-1.0)
     rng = jax.random.PRNGKey(2)
 
+    metric = f"selfplay_env_steps_per_s_{config_name}_{num_sims}sims"
+
+    def emit(env_steps_per_s: float, partial: bool) -> None:
+        line = {
+            "metric": metric if config_name != "go9"
+            else "selfplay_env_steps_per_s_9x9go_200sims",
+            "value": round(env_steps_per_s, 1),
+            "unit": "env-steps/s",
+            "vs_baseline": round(env_steps_per_s / BASELINE_ENV_STEPS_PER_S, 3),
+        }
+        if partial:
+            line["partial"] = True
+        print(json.dumps(line), flush=True)
+
     t_compile = time.time()
-    for i in range(warmup_steps):
+    for _ in range(warmup_steps):
         rng, sub = jax.random.split(rng)
         sp, out = step_fn(variables, sp, sub, threshold)
     jax.block_until_ready(out.search_pi)
     compile_time = time.time() - t_compile
+    print(f"# compile+warmup({warmup_steps} steps)={compile_time:.1f}s",
+          file=sys.stderr, flush=True)
 
     t0 = time.time()
+    done_steps = 0
     for i in range(timed_steps):
         rng, sub = jax.random.split(rng)
         sp, out = step_fn(variables, sp, sub, threshold)
-    jax.block_until_ready(out.search_pi)
+        jax.block_until_ready(out.search_pi)
+        done_steps = i + 1
+        elapsed = time.time() - t0
+        rate = batch * done_steps / elapsed
+        # Partial result after every step: a timeout still leaves a number.
+        emit(rate, partial=done_steps < timed_steps)
+        print(f"# step {done_steps}/{timed_steps}: {rate:,.0f} env-steps/s "
+              f"({rate * num_sims:,.0f} sims/s)", file=sys.stderr, flush=True)
+
     elapsed = time.time() - t0
-
-    env_steps_per_s = batch * timed_steps / elapsed
-    sims_per_s = env_steps_per_s * num_sims
-
+    env_steps_per_s = batch * done_steps / elapsed
     print(
-        f"# batch={batch} sims={num_sims} warmup(compile)={compile_time:.1f}s "
-        f"timed={elapsed:.2f}s for {timed_steps} steps; "
-        f"sims/s={sims_per_s:,.0f}",
-        file=sys.stderr,
+        f"# config={config_name} batch={batch} sims={num_sims} reuse={reuse} "
+        f"max_new_sims={max_new_sims} timed={elapsed:.2f}s for {done_steps} steps; "
+        f"sims/s={env_steps_per_s * num_sims:,.0f}",
+        file=sys.stderr, flush=True,
     )
-    print(json.dumps({
-        "metric": "selfplay_env_steps_per_s_9x9go_200sims",
-        "value": round(env_steps_per_s, 1),
-        "unit": "env-steps/s",
-        "vs_baseline": round(env_steps_per_s / BASELINE_ENV_STEPS_PER_S, 3),
-    }))
 
 
 if __name__ == "__main__":

@@ -1,4 +1,9 @@
-"""Micro-bench each phase of one MCTS simulation at the bench config."""
+"""Micro-bench each phase of one MCTS simulation at the bench config.
+
+Phases match the sim_body of search/mcts.py:batched_search. Standalone-jit
+timings include per-dispatch overhead the fused loop doesn't pay; use the
+numbers for RELATIVE ranking, and bench.py for end-to-end truth.
+"""
 import os, time, functools
 import jax, jax.numpy as jnp
 
@@ -35,12 +40,11 @@ prior0, value0 = eval_fn(jax.vmap(engine.observation)(roots))
 trees0 = M.make_empty_trees(engine, roots, sims)
 trees0 = jax.vmap(M._init_root)(trees0, prior0, value0)
 
-select = jax.vmap(functools.partial(
-    M._select_leaf, path_cap=path_cap, c_puct_base=19652.0, c_puct_init=1.25))
+select = jax.vmap(functools.partial(M._select_leaf, path_cap=path_cap,
+                                    c_puct_base=19652.0, c_puct_init=1.25))
 gather_state = jax.vmap(functools.partial(M._gather_state, capacity=capacity))
 materialize = jax.vmap(M._materialize)
 expand_backup = jax.vmap(M._expand_backup)
-leaf_hist = jax.vmap(functools.partial(M._leaf_history, num_stack=engine.num_stack))
 
 def sim_body(i, trees):
     active = trees.node_N[:, 0] < float(sims)
@@ -49,10 +53,11 @@ def sim_body(i, trees):
     parent_states = gather_state(trees.states, parent)
     new_states = tree_engine.step_batch(parent_states, action)
     trees, leaf, needs_eval = materialize(trees, slot, parent, action, child, hit_term, active, new_states)
-    history = leaf_hist(trees, parent, depth, new_states.board)
+    history = M._leaf_history_batch(trees, parent, depth, new_states.board, engine.num_stack)
     o = jax.vmap(engine.observation_from)(history, new_states.to_play)
     prior, value = eval_fn(o)
-    return expand_backup(trees, slot, leaf, needs_eval, active, even, odd, depth, prior, value)
+    prior_sel = jnp.where(new_states.legal > 0.5, prior, -1.0)
+    return expand_backup(trees, slot, leaf, needs_eval, active, even, odd, depth, prior_sel, value)
 
 warm = int(os.environ.get("WARM_SIMS", "60"))
 trees = jax.jit(lambda t: jax.lax.fori_loop(0, warm, sim_body, t))(trees0)
@@ -65,7 +70,7 @@ def timeit(name, fn, *args, iters=100):
         r = fn(*args)
     jax.block_until_ready(jax.tree_util.tree_leaves(r)[0])
     dt = (time.perf_counter() - t0) / iters
-    print(f"{name}: {dt*1e3:.3f} ms")
+    print(f"{name}: {dt*1e3:.3f} ms", flush=True)
     return dt
 
 sel_j = jax.jit(select)
@@ -86,7 +91,7 @@ mat_j = jax.jit(lambda t, sl, p, a, c, h, ac, s: materialize(t, sl, p, a, c, h, 
 t_mat = timeit("materialize", mat_j, trees, slot_v, parent, action, child, hit_term, active_v, new_states)
 trees2, leaf, needs_eval = mat_j(trees, slot_v, parent, action, child, hit_term, active_v, new_states)
 
-lh_j = jax.jit(lambda t, p, d, b: leaf_hist(t, p, d, b))
+lh_j = jax.jit(lambda t, p, d, b: M._leaf_history_batch(t, p, d, b, engine.num_stack))
 t_lh = timeit("leaf_history", lh_j, trees2, parent, depth, new_states.board)
 history = lh_j(trees2, parent, depth, new_states.board)
 

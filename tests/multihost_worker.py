@@ -77,4 +77,47 @@ restored = ckpt_lib.restore_checkpoint(
 )
 assert int(restored.training_steps) == 4
 
+# Numerical equivalence: one dp-sharded train step on a deterministic global
+# batch from a fresh seed-123 state. The pytest parent recomputes the same
+# step single-process and compares the printed losses — proving the global
+# mesh program (sharded batch, psum'd grads, cross-batch batch-norm stats)
+# computes the same numbers as an unsharded learner.
+import numpy as np  # noqa: E402
+
+from alpha_zero_tpu.parallel import mesh as mesh_lib  # noqa: E402
+from alpha_zero_tpu.training import learner as learner_lib  # noqa: E402
+
+G = 16  # global batch; local share = G / nproc
+rngnp = np.random.default_rng(0)
+states = rngnp.integers(0, 2, size=(G, 5, 5, 5)).astype(np.int8)
+pis = rngnp.random((G, 25)).astype(np.float32)
+pis /= pis.sum(-1, keepdims=True)
+vals = rngnp.choice([-1.0, 1.0], size=(G,)).astype(np.float32)
+lo, hi = pid * G // nproc, (pid + 1) * G // nproc
+
+state0 = learner_lib.create_train_state(
+    trainer.net, jax.random.PRNGKey(123), (5, 5, 5), trainer.tx
+)
+p_shard = mesh_lib.param_shardings(trainer.mesh, state0.params)
+params = jax.tree.map(
+    lambda x, s: jax.make_array_from_process_local_data(
+        s, np.asarray(x), np.asarray(x).shape),
+    state0.params, p_shard,
+)
+batch_stats = multihost.replicate_to_global(
+    trainer.mesh, jax.tree.map(np.asarray, state0.batch_stats))
+state0 = state0.replace(
+    params=params, batch_stats=batch_stats,
+    opt_state=jax.jit(trainer.tx.init)(params),
+    training_steps=multihost.replicate_to_global(
+        trainer.mesh, np.asarray(state0.training_steps)),
+)
+globs = multihost.local_to_global(
+    trainer.mesh, (states[lo:hi], pis[lo:hi], vals[lo:hi]))
+step = learner_lib.make_train_step(
+    trainer.net, trainer.tx, trainer.lr_schedule, argument_data=True)
+_, metrics = step(state0, *globs, jax.random.PRNGKey(7))
+print(f"MULTIHOST_LOSS {float(metrics.policy_loss):.6f} "
+      f"{float(metrics.value_loss):.6f}", flush=True)
+
 print(f"MULTIHOST_OK p{pid}", flush=True)

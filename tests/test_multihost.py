@@ -21,6 +21,43 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def _single_process_losses():
+    """The multihost worker's equivalence batch, computed unsharded (must
+    mirror tests/multihost_worker.py: same net config, seeds, and batch)."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from alpha_zero_tpu.config import get_config
+    from alpha_zero_tpu.models.resnet import build_network
+    from alpha_zero_tpu.training import learner as learner_lib
+
+    cfg = get_config("gomoku9")
+    env_cfg = dataclasses.replace(
+        cfg.env, board_size=5, num_to_win=4, max_steps=25, num_stack=2)
+    net_cfg = dataclasses.replace(
+        cfg.network, num_res_blocks=1, num_filters=8, num_fc_units=8)
+    net = build_network(env_cfg, net_cfg)
+    tx, schedule = learner_lib.make_optimizer(
+        cfg.train.init_lr, cfg.train.lr_decay, cfg.train.lr_milestones,
+        momentum=cfg.train.sgd_momentum,
+        weight_decay=cfg.train.l2_regularization,
+    )
+    state0 = learner_lib.create_train_state(
+        net, jax.random.PRNGKey(123), (5, 5, 5), tx)
+    step = learner_lib.make_train_step(net, tx, schedule, argument_data=True)
+
+    G = 16
+    rngnp = np.random.default_rng(0)
+    states = rngnp.integers(0, 2, size=(G, 5, 5, 5)).astype(np.int8)
+    pis = rngnp.random((G, 25)).astype(np.float32)
+    pis /= pis.sum(-1, keepdims=True)
+    vals = rngnp.choice([-1.0, 1.0], size=(G,)).astype(np.float32)
+    _, metrics = step(state0, states, pis, vals, jax.random.PRNGKey(7))
+    return float(metrics.policy_loss), float(metrics.value_loss)
+
+
 def test_two_process_training_run():
     port = _free_port()
     workdir = tempfile.mkdtemp(prefix="mh_test_")
@@ -48,6 +85,17 @@ def test_two_process_training_run():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
         assert f"MULTIHOST_OK p{pid}" in out
+
+    # Numerical equivalence: the dp-sharded train step the workers ran on a
+    # deterministic global batch must equal the same step computed here,
+    # single-process and unsharded (same seeds, same batch).
+    loss_lines = [ln for ln in outs[0].splitlines()
+                  if ln.startswith("MULTIHOST_LOSS")]
+    assert loss_lines, outs[0][-2000:]
+    sharded_pi, sharded_v = map(float, loss_lines[0].split()[1:3])
+    expect_pi, expect_v = _single_process_losses()
+    assert abs(sharded_pi - expect_pi) < 1e-4, (sharded_pi, expect_pi)
+    assert abs(sharded_v - expect_v) < 1e-4, (sharded_v, expect_v)
 
     # Collective checkpoint written once; host0 wrote the training CSV; both
     # hosts harvested games into their own actor CSVs.
