@@ -12,9 +12,9 @@ import argparse
 import os
 import re
 
-from alpha_zero_tpu.cli.common import add_config_args, resolve_config
+from alpha_zero_tpu.cli.common import add_config_args, apply_override, resolve_config
 from alpha_zero_tpu.cli.play import load_variables
-from alpha_zero_tpu.eval.match import play_matches
+from alpha_zero_tpu.eval.match import play_matches, play_matches_asym
 from alpha_zero_tpu.training.pipeline import build_engine
 from alpha_zero_tpu.utils import sgf as sgf_lib
 from alpha_zero_tpu.utils.csv_writer import CsvWriter
@@ -29,6 +29,15 @@ def main(argv=None) -> None:
     parser.add_argument("--num_games", type=int, default=32)
     parser.add_argument("--save_match_dir", default="./matches")
     parser.add_argument("--seed", type=int, default=1)
+    parser.add_argument("--black_search", action="append", default=[],
+                        metavar="field=v",
+                        help="per-side SearchConfig override for black "
+                             "(repeatable), e.g. --black_search "
+                             "reuse_subtree=True --black_search max_new_sims=120"
+                             " — enables asymmetric matches (the subtree-reuse"
+                             " strength measurement)")
+    parser.add_argument("--white_search", action="append", default=[],
+                        metavar="field=v", help="same for white")
     args = parser.parse_args(argv)
     cfg = resolve_config(args.config, args.set)
     logger = create_logger()
@@ -37,6 +46,17 @@ def main(argv=None) -> None:
     net, black_vars = load_variables(cfg, args.black_ckpt)
     _, white_vars = load_variables(cfg, args.white_ckpt)
 
+    def side_cfg(overrides):
+        sc = cfg.search
+        for ov in overrides:
+            field, raw = ov.split("=", 1)
+            sc = apply_override(sc, field, raw)
+        return sc
+
+    black_cfg = side_cfg(args.black_search)
+    white_cfg = side_cfg(args.white_search)
+    asym = bool(args.black_search or args.white_search)
+
     os.makedirs(args.save_match_dir, exist_ok=True)
     writer = CsvWriter(os.path.join(args.save_match_dir, "log.csv"), 1)
 
@@ -44,10 +64,17 @@ def main(argv=None) -> None:
     logger.info(f'White: "{args.white_ckpt}"')
     logger.info(f"Playing {args.num_games} lockstep games on device...")
 
-    stats = play_matches(
-        engine, net, cfg.search, black_vars, white_vars,
-        num_games=args.num_games, seed=args.seed, record_moves=True,
-    )
+    if asym:
+        logger.info(f"Asymmetric search: black={black_cfg} white={white_cfg}")
+        stats = play_matches_asym(
+            engine, net, black_cfg, white_cfg, black_vars, white_vars,
+            num_games=args.num_games, seed=args.seed, record_moves=True,
+        )
+    else:
+        stats = play_matches(
+            engine, net, cfg.search, black_vars, white_vars,
+            num_games=args.num_games, seed=args.seed, record_moves=True,
+        )
 
     black_won = white_won = 0
     for item in stats:

@@ -20,8 +20,14 @@ from alpha_zero_tpu.utils.logging import create_logger
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     add_config_args(parser)
-    parser.add_argument("--eval", action="store_true",
-                        help="run the in-process evaluator after each checkpoint")
+    # The evaluator runs by default, like the reference's always-spawned
+    # evaluator process (training_go.py:292-314): one deterministic
+    # latest-vs-prev game + Elo per checkpoint (+ pro-game metrics when
+    # run.eval_games_dir is set).
+    parser.add_argument("--eval", action="store_true", dest="eval_",
+                        help=argparse.SUPPRESS)  # legacy no-op (now default)
+    parser.add_argument("--no-eval", action="store_true",
+                        help="skip the per-checkpoint evaluator")
     args = parser.parse_args(argv)
 
     cfg = resolve_config(args.config, args.set)
@@ -39,7 +45,7 @@ def main(argv=None) -> None:
     logger.info("config: %s", json.dumps(dataclasses.asdict(cfg), default=str, indent=1))
 
     trainer = pipeline.Trainer(cfg)
-    if args.eval:
+    if not args.no_eval:
         trainer.enable_evaluator()
     trainer.run()
 

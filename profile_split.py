@@ -49,7 +49,19 @@ acts = jnp.zeros((batch,), jnp.int32)
 def eng_step(state, a):
     return engine.step_batch(state, a)
 
-eng_dt = timeit("engine_step_batch", eng_step, sp.games, acts)
+eng_dt = timeit("engine_step_batch (game-level, num_stack=8)", eng_step, sp.games, acts)
+
+# The number that actually sits in the per-sim budget: the IN-TREE step
+# (1-deep history), matching what the search loop runs.
+tree_engine = engine.with_num_stack(1)
+tree_states = sp.games.replace(history=sp.games.history[:, :1])
+
+@jax.jit
+def tree_step(state, a):
+    return tree_engine.step_batch(state, a)
+
+tree_dt = timeit("engine_step_batch (in-tree, num_stack=1)", tree_step,
+                 tree_states, acts)
 
 search_cfg = config_lib.SearchConfig(num_simulations=sims, warm_up_steps=cfg.search.warm_up_steps)
 step_fn = selfplay_lib.make_selfplay_step(engine, net, search_cfg, cfg.resign)
@@ -65,11 +77,7 @@ jax.block_until_ready(jax.tree_util.tree_leaves(o)[0])
 move_dt = (time.perf_counter() - t0) / iters
 print(f"full selfplay move ({sims} sims): {move_dt*1e3:.1f} ms "
       f"= {move_dt/sims*1e3:.3f} ms/sim")
-# NOTE: eng_dt is the GAME-level step (num_stack=8 history planes); in-tree
-# MCTS steps use with_num_stack(1) and are cheaper — see profile_tree.py for
-# the true per-sim engine share.
 print(f"shares per sim: nn {nn_dt*1e3:.3f} ms ({nn_dt/(move_dt/sims)*100:.0f}%), "
-      f"game-level engine step {eng_dt*1e3:.3f} ms "
-      f"(in-tree step is cheaper; see profile_tree.py), "
-      f"non-nn residual {(move_dt/sims - nn_dt)*1e3:.3f} ms/sim")
+      f"in-tree engine step {tree_dt*1e3:.3f} ms ({tree_dt/(move_dt/sims)*100:.0f}%), "
+      f"other tree ops {(move_dt/sims - nn_dt - tree_dt)*1e3:.3f} ms/sim")
 print(f"env-steps/s at B={batch}: {batch/move_dt:.0f}")
