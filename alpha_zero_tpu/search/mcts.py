@@ -51,6 +51,7 @@ cost of lanes with little reuse not reaching the full budget.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -58,6 +59,97 @@ import jax.numpy as jnp
 from flax import struct
 
 from alpha_zero_tpu.envs.types import GameState
+
+# Indexing strategy for the per-simulation hot loop:
+#   "gather" — native dynamic indexing (take_along_axis / scatter-at): per-sim
+#              HBM traffic is proportional to what is actually touched
+#              (~KB per lane), the mctx-style layout.
+#   "onehot" — the round-1 one-hot matmul / masked-reduce forms: every access
+#              sweeps the full [T, ...] arrays (~MB per lane per sim).
+# Both compute identical results (covered by the same parity tests); the
+# toggle exists because the two lower very differently on TPU and the winner
+# is decided by end-to-end bench.py, not microbenches. Measured on the v5e
+# bench config (B=1024, 200 sims, reuse@120): onehot 1130 env-steps/s; every
+# native-indexing combination loses (all-gather 379, scatter-writes-only 612,
+# read-gathers-only 965) — vmapped gathers/scatters serialize on this
+# hardware, so onehot is the default.
+INDEXING = os.environ.get("AZT_INDEXING", "onehot")
+
+# Per-piece override: which hot-loop pieces use the gather lowering when
+# INDEXING == "gather" (bisection/tuning knob; AZT_GATHER_PIECES is a comma
+# list drawn from the full set below).
+_ALL_PIECES = ("select", "state", "materialize", "expand", "history")
+GATHER_PIECES = frozenset(
+    p for p in os.environ.get("AZT_GATHER_PIECES", ",".join(_ALL_PIECES)).split(",")
+    if p
+)
+
+
+def _use_gather(piece: str) -> bool:
+    return INDEXING == "gather" and piece in GATHER_PIECES
+
+
+@struct.dataclass
+class NodeState:
+    """Minimal per-node game state stored in the tree.
+
+    The engine's full :class:`GameState` carries fields a tree node never
+    needs again once its children's legality is folded into ``child_P``
+    (``legal`` — 328B of f32), duplicates (1-deep ``history`` == ``board``),
+    and wide dtypes (f32 ``labels``/``group_libs`` cached analysis — exact
+    small integers that fit i16). Since every per-simulation access sweeps
+    the whole [T, ...] state arrays in the one-hot lowering, trimming the
+    node from ~1.2KB to ~0.4KB cuts the dominant HBM traffic of the search
+    (gather_state + materialize) by ~3x. ``step_core`` reads exactly these
+    fields (envs/go.py:330-455, envs/gomoku.py:105-138)."""
+
+    board: jnp.ndarray        # int8[N, N]
+    labels: jnp.ndarray       # int16 group labels (Go; [1,1] dummy for Gomoku)
+    group_libs: jnp.ndarray   # int16 liberties per group root (Go)
+    to_play: jnp.ndarray      # int8 scalar
+    pass_streak: jnp.ndarray  # int32 scalar (Go double-pass termination)
+    step_count: jnp.ndarray   # int32 scalar (max_steps termination)
+
+
+def _node_state_of(gs: GameState) -> NodeState:
+    """GameState -> NodeState (elementwise; works batched or per-game)."""
+    return NodeState(
+        board=gs.board,
+        labels=gs.labels.astype(jnp.int16),
+        group_libs=gs.group_libs.astype(jnp.int16),
+        to_play=gs.to_play,
+        pass_streak=gs.pass_streak,
+        step_count=gs.step_count,
+    )
+
+
+def _game_state_of(ns: NodeState, num_actions: int) -> GameState:
+    """Reconstructs a full batched GameState for the engine step from stored
+    node fields. Dummied fields are exactly those ``step_core`` never reads:
+    the parent's ``legal``/``ko`` are already folded into the stored child
+    priors, ``done`` nodes are never stepped (selection stops at terminal
+    children), and history at num_stack=1 is the board itself."""
+    b = ns.board.shape[0]
+    zi = jnp.zeros((b,), jnp.int32)
+    return GameState(
+        board=ns.board,
+        history=ns.board[:, None],
+        to_play=ns.to_play,
+        step_count=ns.step_count,
+        done=jnp.zeros((b,), jnp.bool_),
+        winner=jnp.zeros((b,), jnp.int8),
+        last_move=jnp.full((b,), -2, jnp.int32),
+        last_reward=jnp.zeros((b,), jnp.float32),
+        ko=jnp.full((b,), -1, jnp.int32),
+        pass_streak=ns.pass_streak,
+        num_passes=zi,
+        captures=jnp.zeros((b, 2), jnp.int32),
+        resigned=jnp.zeros((b,), jnp.bool_),
+        final_score=jnp.zeros((b,), jnp.float32),
+        labels=ns.labels.astype(jnp.float32),
+        group_libs=ns.group_libs.astype(jnp.float32),
+        legal=jnp.zeros((b, num_actions), jnp.float32),
+    )
 
 
 @struct.dataclass
@@ -83,10 +175,10 @@ class Tree:
     node_expanded: jnp.ndarray   # bool[T]; has priors (terminal nodes never do)
     node_done: jnp.ndarray       # f32[T]; 1.0 when game over at this node
     node_reward: jnp.ndarray     # f32[T]; reward emitted by the creating step
-    states: GameState            # stacked [T, ...] game states (1-deep history:
-    #                              observation stacks are rebuilt from ancestor
-    #                              boards + root_history, so per-node history
-    #                              would be redundant traffic)
+    states: NodeState            # stacked [T, ...] trimmed node states
+    #                              (observation stacks are rebuilt from
+    #                              ancestor boards + root_history)
+    root_legal: jnp.ndarray      # f32[A]; the root state's legal mask
     root_history: jnp.ndarray    # s8[S, N, N]; the root's pre-search history
     num_nodes: jnp.ndarray       # f32 scalar; next free slot (nodes in use)
 
@@ -113,6 +205,30 @@ def _oh(idx: jnp.ndarray, size: int) -> jnp.ndarray:
 def _elem(vec: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """vec[idx] (f32) via one-hot dot; 0 when idx out of range."""
     return _oh(idx, vec.shape[0]) @ vec
+
+
+def _fetch_row(arr: jnp.ndarray, i: jnp.ndarray) -> jnp.ndarray:
+    """arr[i] for a 2-D array and in-range scalar index (per-lane form; a
+    batched gather under vmap when INDEXING == 'gather')."""
+    if _use_gather("select"):
+        return jax.lax.dynamic_slice_in_dim(arr, i, 1, axis=0)[0]
+    return _oh(i, arr.shape[0]) @ arr
+
+
+def _fetch_elem(vec: jnp.ndarray, i: jnp.ndarray) -> jnp.ndarray:
+    """vec[i] for an in-range scalar index (per-lane form)."""
+    if _use_gather("select"):
+        return jax.lax.dynamic_index_in_dim(vec, i, keepdims=False)
+    return _elem(vec, i)
+
+
+def _fetch_elems(vec: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """vec[idx] for a vector of in-range indices (per-lane form)."""
+    if _use_gather("select"):
+        return jnp.take(vec, idx, axis=0)
+    iota = jnp.arange(vec.shape[0], dtype=jnp.int32)
+    oh = (idx[:, None] == iota[None, :]).astype(jnp.float32)
+    return oh @ vec
 
 
 def _matmul_state(states: GameState, m_f: jnp.ndarray, capacity: int,
@@ -161,6 +277,18 @@ def _gather_state(states: GameState, idx: jnp.ndarray, capacity: int) -> GameSta
     return jax.tree.map(g, states)
 
 
+def _gather_state_rows(states: GameState, idx: jnp.ndarray) -> GameState:
+    """Batched ``states[b, idx[b]]`` as one row gather per [B, T, ...] leaf —
+    touches only the selected rows instead of sweeping the whole tree (the
+    'gather' counterpart of vmapped :func:`_gather_state`)."""
+
+    def g(leaf):
+        ix = idx.reshape((-1,) + (1,) * (leaf.ndim - 1)).astype(jnp.int32)
+        return jnp.take_along_axis(leaf, ix, axis=1)[:, 0]
+
+    return jax.tree.map(g, states)
+
+
 def _leaf_history_batch(tree: Tree, parent: jnp.ndarray, depth: jnp.ndarray,
                         new_board: jnp.ndarray, num_stack: int) -> jnp.ndarray:
     """Rebuilds every leaf's [S, N, N] board history (latest first), batched.
@@ -181,36 +309,50 @@ def _leaf_history_batch(tree: Tree, parent: jnp.ndarray, depth: jnp.ndarray,
     n = new_board.shape[-1]
     t_iota = jnp.arange(capacity, dtype=jnp.int32)
 
-    # Phase 1: ancestor ids [B, S-1] via S-2 tiny [B, T] one-hot matvecs.
+    # Phase 1: ancestor ids [B, S-1] via S-2 tiny [B, T] lookups.
     ids = [parent.astype(jnp.float32)]
     for _ in range(2, num_stack):
         walk_i = jnp.clip(ids[-1], 0.0, capacity - 1).astype(jnp.int32)
-        oh = (t_iota[None, :] == walk_i[:, None]).astype(jnp.float32)
-        nxt = jnp.einsum("bt,bt->b", oh, tree.parent_index)
+        if _use_gather("history"):
+            nxt = jnp.take_along_axis(tree.parent_index, walk_i[:, None], axis=1)[:, 0]
+        else:
+            oh = (t_iota[None, :] == walk_i[:, None]).astype(jnp.float32)
+            nxt = jnp.einsum("bt,bt->b", oh, tree.parent_index)
         ids.append(jnp.where(ids[-1] >= 0, nxt, -1.0))
     anc = jnp.stack(ids, axis=1)  # f32 [B, S-1]; hop k-1 = depth of plane k
 
-    # Phase 2: one masked contraction per source.
     ks = jnp.arange(1, num_stack, dtype=jnp.int32)  # plane index of each hop
     from_tree_mask = (ks[None, :] <= depth[:, None]) & (anc >= 0)
     anc_i = jnp.clip(anc, 0.0, capacity - 1).astype(jnp.int32)
-    oh_tree = (
-        (anc_i[:, :, None] == t_iota[None, None, :]) & from_tree_mask[:, :, None]
-    ).astype(jnp.float32)
-    boards_f = tree.states.board.reshape(batch, capacity, -1).astype(jnp.float32)
-    tree_planes = jnp.einsum("bst,btx->bsx", oh_tree, boards_f)
-
     rh_idx = jnp.clip(ks[None, :] - depth[:, None], 0, num_stack - 1)
-    oh_root = (
-        (rh_idx[:, :, None] == jnp.arange(num_stack, dtype=jnp.int32)[None, None, :])
-        & ~from_tree_mask[:, :, None]
-    ).astype(jnp.float32)
-    roots_f = tree.root_history.reshape(batch, num_stack, -1).astype(jnp.float32)
-    root_planes = jnp.einsum("bsr,brx->bsx", oh_root, roots_f)
 
-    older = (tree_planes + root_planes).astype(jnp.int8).reshape(
-        batch, num_stack - 1, n, n
-    )
+    if _use_gather("history"):
+        # Phase 2: gather the S-1 ancestor boards and root-history planes
+        # directly ([B, S-1] row gathers — touches KBs, not the whole tree).
+        boards = tree.states.board.reshape(batch, capacity, -1)
+        tree_planes = jnp.take_along_axis(boards, anc_i[:, :, None], axis=1)
+        roots = tree.root_history.reshape(batch, num_stack, -1)
+        root_planes = jnp.take_along_axis(roots, rh_idx[:, :, None], axis=1)
+        older = jnp.where(
+            from_tree_mask[:, :, None], tree_planes, root_planes
+        ).reshape(batch, num_stack - 1, n, n)
+    else:
+        # Phase 2: one masked one-hot contraction per source (full sweep).
+        oh_tree = (
+            (anc_i[:, :, None] == t_iota[None, None, :]) & from_tree_mask[:, :, None]
+        ).astype(jnp.float32)
+        boards_f = tree.states.board.reshape(batch, capacity, -1).astype(jnp.float32)
+        tree_planes = jnp.einsum("bst,btx->bsx", oh_tree, boards_f)
+
+        oh_root = (
+            (rh_idx[:, :, None] == jnp.arange(num_stack, dtype=jnp.int32)[None, None, :])
+            & ~from_tree_mask[:, :, None]
+        ).astype(jnp.float32)
+        roots_f = tree.root_history.reshape(batch, num_stack, -1).astype(jnp.float32)
+        root_planes = jnp.einsum("bsr,brx->bsx", oh_root, roots_f)
+        older = (tree_planes + root_planes).astype(jnp.int8).reshape(
+            batch, num_stack - 1, n, n
+        )
     return jnp.concatenate([new_board[:, None], older], axis=1)
 
 
@@ -223,8 +365,9 @@ def _make_empty_tree(root_state: GameState, root_history: jnp.ndarray,
                      capacity: int, num_actions: int) -> Tree:
     """A tree holding only an UNEXPANDED root; ``_init_root`` applies the
     root's NN evaluation at search start (mcts_v2.py:363-368)."""
+    node = _node_state_of(root_state)
     states = jax.tree.map(
-        lambda x: jnp.broadcast_to(x, (capacity,) + x.shape), root_state
+        lambda x: jnp.broadcast_to(x, (capacity,) + x.shape), node
     )
     return Tree(
         node_N=jnp.zeros((capacity,), jnp.float32),
@@ -237,6 +380,7 @@ def _make_empty_tree(root_state: GameState, root_history: jnp.ndarray,
         node_done=jnp.zeros((capacity,), jnp.float32),
         node_reward=jnp.zeros((capacity,), jnp.float32),
         states=states,
+        root_legal=root_state.legal,
         root_history=root_history,
         num_nodes=jnp.float32(1.0),
     )
@@ -245,11 +389,10 @@ def _make_empty_tree(root_state: GameState, root_history: jnp.ndarray,
 def make_empty_trees(engine, root_states: GameState, num_simulations: int) -> Tree:
     """Batched fresh trees for ``root_states`` (used to seed subtree reuse)."""
     capacity = num_simulations + 1
-    trimmed = root_states.replace(history=root_states.history[:, :1])
     return jax.vmap(
         functools.partial(_make_empty_tree, capacity=capacity,
                           num_actions=engine.num_actions)
-    )(trimmed, root_states.history)
+    )(root_states, root_states.history)
 
 
 def _init_root(tree: Tree, prior: jnp.ndarray, value: jnp.ndarray) -> Tree:
@@ -258,7 +401,7 @@ def _init_root(tree: Tree, prior: jnp.ndarray, value: jnp.ndarray) -> Tree:
     (mcts_v2.py:366: root creation only `if root_node is None`). The stored
     prior keeps the -1 illegal sentinel (see Tree.child_P)."""
     fresh = ~tree.node_expanded[0]
-    prior_sel = jnp.where(tree.states.legal[0] > 0.5, prior, -1.0)
+    prior_sel = jnp.where(tree.root_legal > 0.5, prior, -1.0)
     return tree.replace(
         node_N=tree.node_N.at[0].set(jnp.where(fresh, 1.0, tree.node_N[0])),
         node_W=tree.node_W.at[0].set(jnp.where(fresh, value, tree.node_W[0])),
@@ -276,8 +419,8 @@ def _add_dirichlet_noise(tree: Tree, rng: jax.Array, eps: float, alpha: float) -
     carried priors each call, mcts_v2.py:376-378)."""
     num_actions = tree.child_P.shape[-1]
     noise = jax.random.dirichlet(rng, jnp.full((num_actions,), alpha, jnp.float32))
-    legal = tree.states.legal[0] > 0.5
-    noise = noise * tree.states.legal[0]
+    legal = tree.root_legal > 0.5
+    noise = noise * tree.root_legal
     new_p = jnp.maximum(tree.child_P[0], 0.0) * (1.0 - eps) + noise * eps
     return tree.replace(
         child_P=tree.child_P.at[0].set(jnp.where(legal, new_p, -1.0))
@@ -315,18 +458,16 @@ def _select_leaf(tree: Tree, path_cap: int, c_puct_base: float,
 
     def body(carry):
         cur, n_cur, _, _, _, depth, even, odd = carry
-        cur_oh = (t_iota == cur).astype(jnp.float32)
         # PUCT over cur's children (mcts_v2.py:99-109, 142-186). The stored
         # prior is -1 on illegal actions (see _mask_prior), so one row fetch
         # yields both the prior and the legality mask.
-        ci_row = cur_oh @ tree.children_index  # f32 child ids, -1 = none
-        p_row = cur_oh @ tree.child_P
+        ci_row = _fetch_row(tree.children_index, cur)  # f32 child ids, -1 = none
+        p_row = _fetch_row(tree.child_P, cur)
         legal_row = p_row >= 0.0
         ci_i = jnp.clip(ci_row, 0.0, capacity - 1).astype(jnp.int32)
         has_child = ci_row >= 0
-        oh_c = (ci_i[:, None] == t_iota[None, :]).astype(jnp.float32)
-        c_n = jnp.where(has_child, oh_c @ tree.node_N, 0.0)
-        c_w = jnp.where(has_child, oh_c @ tree.node_W, 0.0)
+        c_n = jnp.where(has_child, _fetch_elems(tree.node_N, ci_i), 0.0)
+        c_w = jnp.where(has_child, _fetch_elems(tree.node_W, ci_i), 0.0)
 
         pb_c = jnp.log((1.0 + n_cur + c_puct_base) / c_puct_base) + c_puct_init
         u = pb_c * jnp.maximum(p_row, 0.0) * (jnp.sqrt(n_cur) / (1.0 + c_n))
@@ -334,21 +475,18 @@ def _select_leaf(tree: Tree, path_cap: int, c_puct_base: float,
         scores = jnp.where(legal_row, -q + u, -9999.0)
         action = jnp.argmax(scores).astype(jnp.int32)
 
-        a_oh = (jnp.arange(scores.shape[0], dtype=jnp.int32) == action).astype(
-            jnp.float32
-        )
-        child = (a_oh @ ci_row).astype(jnp.int32)
+        child = _fetch_elem(ci_row, action).astype(jnp.int32)
         child_c = jnp.clip(child, 0, capacity - 1)
-        child_oh = (t_iota == child_c).astype(jnp.float32)
         is_new = child < 0
-        is_term = ~is_new & ((child_oh @ tree.node_done) > 0.5)
+        is_term = ~is_new & (_fetch_elem(tree.node_done, child_c) > 0.5)
         stop = is_new | is_term
         # Record cur at this depth into the parity accumulators (dense add).
+        cur_oh = (t_iota == cur).astype(jnp.float32)
         is_even = (depth % 2) == 0
         even = even + jnp.where(is_even, 1.0, 0.0) * cur_oh
         odd = odd + jnp.where(is_even, 0.0, 1.0) * cur_oh
         nxt = jnp.where(stop, cur, child_c)
-        child_n = child_oh @ tree.node_N
+        child_n = _fetch_elem(tree.node_N, child_c)
         nxt_n = jnp.where(stop, n_cur, child_n)
         return (nxt, nxt_n, action, child, stop, depth + 1, even, odd)
 
@@ -395,7 +533,8 @@ def _backup(tree: Tree, even: jnp.ndarray, odd: jnp.ndarray,
 def _materialize(tree: Tree, slot: jnp.ndarray, parent: jnp.ndarray,
                  action: jnp.ndarray, existing_child: jnp.ndarray,
                  hit_terminal: jnp.ndarray, active: jnp.ndarray,
-                 new_state: GameState):
+                 new_node: NodeState, new_done: jnp.ndarray,
+                 new_reward: jnp.ndarray):
     """Writes the freshly stepped leaf into this lane's next free ``slot`` as
     dense one-hot blends (no scatters); allocates nothing when selection hit
     an existing terminal node or the lane's budget is spent.
@@ -410,7 +549,7 @@ def _materialize(tree: Tree, slot: jnp.ndarray, parent: jnp.ndarray,
         lambda arr, s: jnp.where(
             oh_b.reshape((capacity,) + (1,) * (arr.ndim - 1)), s, arr
         ),
-        tree.states, new_state,
+        tree.states, new_node,
     )
     # Link parent -> slot via a one-hot outer-product blend (per-lane (row,
     # col) scatter would serialize).
@@ -426,15 +565,57 @@ def _materialize(tree: Tree, slot: jnp.ndarray, parent: jnp.ndarray,
         action_from_parent=jnp.where(
             oh_b, action.astype(jnp.float32), tree.action_from_parent
         ),
-        node_done=jnp.where(oh_b, new_state.done.astype(jnp.float32), tree.node_done),
-        node_reward=jnp.where(oh_b, new_state.last_reward, tree.node_reward),
+        node_done=jnp.where(oh_b, new_done.astype(jnp.float32), tree.node_done),
+        node_reward=jnp.where(oh_b, new_reward, tree.node_reward),
         node_N=jnp.where(oh_b, 0.0, tree.node_N),
         node_W=jnp.where(oh_b, 0.0, tree.node_W),
         children_index=children_index,
         num_nodes=tree.num_nodes + is_new.astype(jnp.float32),
     )
     leaf = jnp.where(is_new, slot_i, jnp.clip(existing_child, 0, capacity - 1))
-    needs_eval = is_new & ~new_state.done
+    needs_eval = is_new & ~new_done
+    return tree, leaf, needs_eval
+
+
+def _materialize_scatter(tree: Tree, slot: jnp.ndarray, parent: jnp.ndarray,
+                         action: jnp.ndarray, existing_child: jnp.ndarray,
+                         hit_terminal: jnp.ndarray, active: jnp.ndarray,
+                         new_node: NodeState, new_done: jnp.ndarray,
+                         new_reward: jnp.ndarray):
+    """Batch-level scatter variant of :func:`_materialize`: the new leaf's row
+    is written with native per-lane scatters (unique indices, out-of-range
+    dropped) — HBM traffic is one row per lane instead of a full-tree blend.
+    Lanes that hit an existing terminal node or exhausted their budget write
+    nothing (their scatter index is pushed out of range)."""
+    batch, capacity = tree.node_N.shape
+    is_new = ~hit_terminal & active & (slot < capacity)
+    slot_i = jnp.clip(slot, 0, capacity - 1)
+    widx = jnp.where(is_new, slot_i, capacity)  # capacity == dropped
+    bidx = jnp.arange(batch, dtype=jnp.int32)
+
+    def put_rows(arr, rows):
+        return arr.at[bidx, widx].set(rows, mode="drop", unique_indices=True)
+
+    states = jax.tree.map(put_rows, tree.states, new_node)
+    children_index = tree.children_index.at[
+        bidx, jnp.where(is_new, parent, capacity), action
+    ].set(slot_i.astype(jnp.float32), mode="drop", unique_indices=True)
+
+    tree = tree.replace(
+        states=states,
+        parent_index=put_rows(tree.parent_index, parent.astype(jnp.float32)),
+        action_from_parent=put_rows(
+            tree.action_from_parent, action.astype(jnp.float32)
+        ),
+        node_done=put_rows(tree.node_done, new_done.astype(jnp.float32)),
+        node_reward=put_rows(tree.node_reward, new_reward),
+        node_N=put_rows(tree.node_N, jnp.zeros((batch,), jnp.float32)),
+        node_W=put_rows(tree.node_W, jnp.zeros((batch,), jnp.float32)),
+        children_index=children_index,
+        num_nodes=tree.num_nodes + is_new.astype(jnp.float32),
+    )
+    leaf = jnp.where(is_new, slot_i, jnp.clip(existing_child, 0, capacity - 1))
+    needs_eval = is_new & ~new_done
     return tree, leaf, needs_eval
 
 
@@ -463,6 +644,44 @@ def _expand_backup(tree: Tree, slot: jnp.ndarray, leaf: jnp.ndarray,
     backup_value = jnp.where(needs_eval, value, -term_reward)
     return _backup(tree, even * act, odd * act, leaf_depth, leaf,
                    backup_value, act)
+
+
+def _expand_backup_scatter(tree: Tree, slot: jnp.ndarray, leaf: jnp.ndarray,
+                           needs_eval: jnp.ndarray, active: jnp.ndarray,
+                           even: jnp.ndarray, odd: jnp.ndarray,
+                           leaf_depth: jnp.ndarray, prior: jnp.ndarray,
+                           value: jnp.ndarray) -> Tree:
+    """Batch-level scatter variant of :func:`_expand_backup`: the evaluated
+    leaf's prior row is scatter-written instead of blended over the whole
+    [B, T, A] array. The path backup stays dense [B, T] vector arithmetic
+    (semantics identical — same parity tests)."""
+    batch, capacity = tree.node_N.shape
+    slot_i = jnp.clip(slot, 0, capacity - 1)
+    widx = jnp.where(needs_eval, slot_i, capacity)  # capacity == dropped
+    bidx = jnp.arange(batch, dtype=jnp.int32)
+    tree = tree.replace(
+        child_P=tree.child_P.at[bidx, widx].set(
+            prior, mode="drop", unique_indices=True
+        ),
+        node_expanded=tree.node_expanded.at[bidx, widx].set(
+            True, mode="drop", unique_indices=True
+        ),
+    )
+    act = active.astype(jnp.float32)
+    term_reward = jnp.take_along_axis(
+        tree.node_reward, leaf[:, None].astype(jnp.int32), axis=1
+    )[:, 0]
+    backup_value = jnp.where(needs_eval, value, -term_reward)
+    # Dense sign-alternating path update (see _backup).
+    t_iota = jnp.arange(capacity, dtype=jnp.int32)
+    leaf_oh = (t_iota[None, :] == leaf[:, None]).astype(jnp.float32) * act[:, None]
+    d_sign = jnp.where(leaf_depth % 2 == 0, 1.0, -1.0)
+    path = (even - odd) * act[:, None]
+    path_w = (backup_value * d_sign)[:, None] * path
+    return tree.replace(
+        node_N=tree.node_N + (even + odd) * act[:, None] + leaf_oh,
+        node_W=tree.node_W + path_w + backup_value[:, None] * leaf_oh,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -530,6 +749,7 @@ def _reroot_one(tree: Tree, move: jnp.ndarray, done: jnp.ndarray,
         node_done=perm @ tree.node_done,
         node_reward=perm @ tree.node_reward,
         states=_matmul_state(tree.states, perm, capacity),
+        root_legal=new_root_state.legal,
         root_history=new_root_history,
         num_nodes=m_count,
     )
@@ -538,7 +758,9 @@ def _reroot_one(tree: Tree, move: jnp.ndarray, done: jnp.ndarray,
     # Overwrite slot 0 with the REAL post-move state: identical to the
     # compacted child state for valid lanes (same step on the same state),
     # and the fresh root otherwise — guarantees root/legal parity bit-exactly.
-    states = jax.tree.map(lambda arr, s: arr.at[0].set(s), out.states, new_root_state)
+    states = jax.tree.map(
+        lambda arr, s: arr.at[0].set(s), out.states, _node_state_of(new_root_state)
+    )
     return out.replace(states=states)
 
 
@@ -549,10 +771,9 @@ def reroot_trees(trees: Tree, move: jnp.ndarray, done: jnp.ndarray,
     ``new_root_states`` are the post-step (and post-auto-reset) game states;
     ``done`` marks games that finished on this move (their trees reset).
     """
-    trimmed = new_root_states.replace(history=new_root_states.history[:, :1])
     return jax.vmap(
         functools.partial(_reroot_one, num_actions=num_actions)
-    )(trees, move, done, trimmed, new_root_states.history)
+    )(trees, move, done, new_root_states, new_root_states.history)
 
 
 # ---------------------------------------------------------------------------
@@ -619,18 +840,25 @@ def batched_search(
         functools.partial(_select_leaf, path_cap=path_cap,
                           c_puct_base=c_puct_base, c_puct_init=c_puct_init)
     )
-    gather_state = jax.vmap(functools.partial(_gather_state, capacity=capacity))
-    materialize = jax.vmap(_materialize)
-    expand_backup = jax.vmap(_expand_backup)
+    gather_state = (_gather_state_rows if _use_gather("state")
+                    else jax.vmap(functools.partial(_gather_state, capacity=capacity)))
+    materialize = (_materialize_scatter if _use_gather("materialize")
+                   else jax.vmap(_materialize))
+    expand_backup = (_expand_backup_scatter if _use_gather("expand")
+                     else jax.vmap(_expand_backup))
+
+    num_actions = engine.num_actions
 
     def sim_body(i, trees):
         active = trees.node_N[:, 0] < float(num_simulations)
         slot = trees.num_nodes.astype(jnp.int32)
         parent, action, child, hit_term, even, odd, depth = select(trees)
-        parent_states = gather_state(trees.states, parent)
+        parent_nodes = gather_state(trees.states, parent)
+        parent_states = _game_state_of(parent_nodes, num_actions)
         new_states = tree_engine.step_batch(parent_states, action)
         trees, leaf, needs_eval = materialize(
-            trees, slot, parent, action, child, hit_term, active, new_states
+            trees, slot, parent, action, child, hit_term, active,
+            _node_state_of(new_states), new_states.done, new_states.last_reward,
         )
         history = _leaf_history_batch(trees, parent, depth, new_states.board,
                                       num_stack)
@@ -658,7 +886,7 @@ def batched_search(
         child_N=child_n,
         child_W=child_w,
         root_Q=trees.node_W[:, 0] / jnp.maximum(trees.node_N[:, 0], 1.0),
-        legal=trees.states.legal[:, 0],
+        legal=trees.root_legal,
     )
     if return_trees:
         return result, trees

@@ -42,17 +42,25 @@ trees0 = jax.vmap(M._init_root)(trees0, prior0, value0)
 
 select = jax.vmap(functools.partial(M._select_leaf, path_cap=path_cap,
                                     c_puct_base=19652.0, c_puct_init=1.25))
-gather_state = jax.vmap(functools.partial(M._gather_state, capacity=capacity))
-materialize = jax.vmap(M._materialize)
-expand_backup = jax.vmap(M._expand_backup)
+if M.INDEXING == "gather":
+    gather_state = M._gather_state_rows
+    materialize = M._materialize_scatter
+    expand_backup = M._expand_backup_scatter
+else:
+    gather_state = jax.vmap(functools.partial(M._gather_state, capacity=capacity))
+    materialize = jax.vmap(M._materialize)
+    expand_backup = jax.vmap(M._expand_backup)
 
 def sim_body(i, trees):
     active = trees.node_N[:, 0] < float(sims)
     slot = trees.num_nodes.astype(jnp.int32)
     parent, action, child, hit_term, even, odd, depth = select(trees)
-    parent_states = gather_state(trees.states, parent)
+    parent_nodes = gather_state(trees.states, parent)
+    parent_states = M._game_state_of(parent_nodes, A)
     new_states = tree_engine.step_batch(parent_states, action)
-    trees, leaf, needs_eval = materialize(trees, slot, parent, action, child, hit_term, active, new_states)
+    trees, leaf, needs_eval = materialize(
+        trees, slot, parent, action, child, hit_term, active,
+        M._node_state_of(new_states), new_states.done, new_states.last_reward)
     history = M._leaf_history_batch(trees, parent, depth, new_states.board, engine.num_stack)
     o = jax.vmap(engine.observation_from)(history, new_states.to_play)
     prior, value = eval_fn(o)
@@ -79,7 +87,8 @@ parent, action, child, hit_term, even, odd, depth = sel_j(trees)
 
 gs_j = jax.jit(lambda t, p: gather_state(t.states, p))
 t_gs = timeit("gather_state", gs_j, trees, parent)
-parent_states = gs_j(trees, parent)
+parent_nodes = gs_j(trees, parent)
+parent_states = jax.jit(lambda ns: M._game_state_of(ns, A))(parent_nodes)
 
 st_j = jax.jit(tree_engine.step_batch)
 t_st = timeit("tree_engine.step (stack1)", st_j, parent_states, action)
@@ -87,9 +96,10 @@ new_states = st_j(parent_states, action)
 
 slot_v = trees.num_nodes.astype(jnp.int32)
 active_v = trees.node_N[:, 0] < float(sims)
-mat_j = jax.jit(lambda t, sl, p, a, c, h, ac, s: materialize(t, sl, p, a, c, h, ac, s))
-t_mat = timeit("materialize", mat_j, trees, slot_v, parent, action, child, hit_term, active_v, new_states)
-trees2, leaf, needs_eval = mat_j(trees, slot_v, parent, action, child, hit_term, active_v, new_states)
+mat_j = jax.jit(lambda t, sl, p, a, c, h, ac, ns, d, r: materialize(t, sl, p, a, c, h, ac, ns, d, r))
+new_node = jax.jit(M._node_state_of)(new_states)
+t_mat = timeit("materialize", mat_j, trees, slot_v, parent, action, child, hit_term, active_v, new_node, new_states.done, new_states.last_reward)
+trees2, leaf, needs_eval = mat_j(trees, slot_v, parent, action, child, hit_term, active_v, new_node, new_states.done, new_states.last_reward)
 
 lh_j = jax.jit(lambda t, p, d, b: M._leaf_history_batch(t, p, d, b, engine.num_stack))
 t_lh = timeit("leaf_history", lh_j, trees2, parent, depth, new_states.board)
