@@ -4,9 +4,28 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 from typing import Any, List
 
 from alpha_zero_tpu import config as config_lib
+
+
+def enable_compile_cache() -> None:
+    """Points JAX at the repo's persistent compilation cache (compiling the
+    big search program can take minutes; reruns then load it in seconds).
+    Called by every CLI entry point. Override the location with
+    JAX_CACHE_DIR; set JAX_CACHE_DIR= (empty) to disable."""
+    cache_dir = os.environ.get(
+        "JAX_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache"),
+    )
+    if not cache_dir:
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
 def apply_override(cfg: Any, dotted: str, raw: str) -> Any:

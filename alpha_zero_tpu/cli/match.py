@@ -12,7 +12,7 @@ import argparse
 import os
 import re
 
-from alpha_zero_tpu.cli.common import add_config_args, apply_override, resolve_config
+from alpha_zero_tpu.cli.common import enable_compile_cache, add_config_args, apply_override, resolve_config
 from alpha_zero_tpu.cli.play import load_variables
 from alpha_zero_tpu.eval.match import play_matches, play_matches_asym
 from alpha_zero_tpu.training.pipeline import build_engine
@@ -22,6 +22,7 @@ from alpha_zero_tpu.utils.logging import create_logger, get_time_stamp
 
 
 def main(argv=None) -> None:
+    enable_compile_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     add_config_args(parser)
     parser.add_argument("--black_ckpt", required=True)

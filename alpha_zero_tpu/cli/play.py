@@ -13,7 +13,7 @@ import time
 import jax
 import numpy as np
 
-from alpha_zero_tpu.cli.common import add_config_args, resolve_config
+from alpha_zero_tpu.cli.common import enable_compile_cache, add_config_args, resolve_config
 from alpha_zero_tpu.envs.host import GoEnv, GomokuEnv
 from alpha_zero_tpu.eval.evaluator import make_eval_move_fn
 from alpha_zero_tpu.models.resnet import build_network
@@ -80,6 +80,7 @@ def terminal_play(cfg, ckpt_path, human_is_black: bool) -> None:
 
 
 def main(argv=None) -> None:
+    enable_compile_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     add_config_args(parser)
     parser.add_argument("--ckpt", default="", help="checkpoint path (untrained net if empty)")

@@ -12,12 +12,14 @@ import argparse
 import dataclasses
 import json
 
-from alpha_zero_tpu.cli.common import add_config_args, resolve_config
+from alpha_zero_tpu.cli.common import (add_config_args, enable_compile_cache,
+                                        resolve_config)
 from alpha_zero_tpu.training import pipeline
 from alpha_zero_tpu.utils.logging import create_logger
 
 
 def main(argv=None) -> None:
+    enable_compile_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     add_config_args(parser)
     # The evaluator runs by default, like the reference's always-spawned

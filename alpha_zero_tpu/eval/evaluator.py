@@ -26,6 +26,7 @@ from alpha_zero_tpu.envs.types import BLACK
 from alpha_zero_tpu.eval.dataset import EvalDataset
 from alpha_zero_tpu.eval.elo import EloRating
 from alpha_zero_tpu.search import mcts
+from alpha_zero_tpu.utils.results import result_string
 
 PlayerMove = namedtuple("PlayerMove", ["color", "move"])
 
@@ -74,14 +75,7 @@ def play_eval_game(engine, move_fn, black_variables, white_variables) -> Dict:
 
     winner = int(state.winner)
     score = float(state.final_score)
-    if bool(state.resigned):
-        result = "B+R" if winner == 1 else "W+R"
-    elif score > 0:
-        result = "B+%.1f" % score
-    elif score < 0:
-        result = "W+%.1f" % abs(score)
-    else:
-        result = "DRAW"
+    result = result_string(winner, score, bool(state.resigned))
 
     stats = {
         "game_length": int(state.step_count),

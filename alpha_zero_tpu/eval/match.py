@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from alpha_zero_tpu.search import mcts
+from alpha_zero_tpu.utils.results import result_string
 
 PlayerMove = namedtuple("PlayerMove", ["color", "move"])
 
@@ -168,14 +169,7 @@ def _collect_stats(states, num_games, all_moves) -> List[Dict]:
     lengths = np.asarray(states.step_count)
     out = []
     for i in range(num_games):
-        if resigned[i]:
-            result = "B+R" if winners[i] == 1 else "W+R"
-        elif scores[i] > 0:
-            result = "B+%.1f" % scores[i]
-        elif scores[i] < 0:
-            result = "W+%.1f" % abs(scores[i])
-        else:
-            result = "DRAW"
+        result = result_string(int(winners[i]), float(scores[i]), bool(resigned[i]))
         stats = {
             "game": i,
             "game_result": result,
@@ -220,14 +214,7 @@ def play_matches(engine, net, search_cfg, black_variables, white_variables,
     lengths = np.asarray(states.step_count)
     out = []
     for i in range(num_games):
-        if resigned[i]:
-            result = "B+R" if winners[i] == 1 else "W+R"
-        elif scores[i] > 0:
-            result = "B+%.1f" % scores[i]
-        elif scores[i] < 0:
-            result = "W+%.1f" % abs(scores[i])
-        else:
-            result = "DRAW"
+        result = result_string(int(winners[i]), float(scores[i]), bool(resigned[i]))
         stats = {
             "game": i,
             "game_result": result,

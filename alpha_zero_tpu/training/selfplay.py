@@ -32,6 +32,7 @@ import numpy as np
 from flax import struct
 
 from alpha_zero_tpu.envs.types import RESIGN, GameState
+from alpha_zero_tpu.utils.results import result_string
 from alpha_zero_tpu.search import mcts
 
 
@@ -325,14 +326,7 @@ class EpisodeAccumulator:
 
         resigned = bool(np.asarray(out.resigned)[i])
         score = float(np.asarray(out.final_score)[i])
-        if resigned:
-            result = "B+R" if i_winner == 1 else "W+R"
-        elif score > 0:
-            result = "B+%.1f" % score
-        elif score < 0:
-            result = "W+%.1f" % abs(score)
-        else:
-            result = "DRAW"
+        result = result_string(i_winner, score, resigned)
 
         stats = {
             "game_length": int(np.asarray(out.game_length)[i]),

@@ -144,6 +144,10 @@ def test_selfplay_completes_games_gomoku():
             assert game.values[-1] == 1.0
         else:
             assert (game.values == 0).all()
+        # Gomoku has no score: result strings come from the winner
+        # (reference gomoku.py:138-147 — B+1.0 / W+1.0 / DRAW).
+        expected = {1: "B+1.0", -1: "W+1.0", 0: "DRAW"}[game.stats["winner"]]
+        assert game.stats["game_result"] == expected
         # Search policies are distributions over legal moves.
         np.testing.assert_allclose(game.pi_probs.sum(-1), 1.0, rtol=1e-4)
 
