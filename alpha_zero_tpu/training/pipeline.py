@@ -602,7 +602,15 @@ class Trainer:
             if not self.is_host0:
                 return None
             variables = self._mh.host_resident_value(variables)
-        stats = self.evaluator.evaluate(variables)
+        try:
+            stats = self.evaluator.evaluate(variables)
+        except Exception as e:  # noqa: BLE001
+            # The reference evaluator is a separate process whose death never
+            # takes down the learner (training_go.py:292-314); keep that
+            # isolation — a failed evaluation (e.g. a transient device error)
+            # skips this checkpoint's row and training continues.
+            self.logger.warning(f"evaluation failed for step {self.training_steps}: {e}")
+            return None
         moves = stats.pop("_moves", [])
         row = {"datetime": get_time_stamp(), "training_steps": self.training_steps,
                **stats}
