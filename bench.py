@@ -95,7 +95,10 @@ def main() -> None:
     for _ in range(warmup_steps):
         rng, sub = jax.random.split(rng)
         sp, out = step_fn(variables, sp, sub, threshold)
-    jax.block_until_ready(out.search_pi)
+    # Materialize a real value on the host: on some remote-device transports
+    # block_until_ready can acknowledge before execution finishes, producing
+    # impossibly-fast timings — a device-to-host scalar cannot lie.
+    _ = float(jnp.sum(out.search_pi))
     compile_time = time.time() - t_compile
     print(f"# compile+warmup({warmup_steps} steps)={compile_time:.1f}s",
           file=sys.stderr, flush=True)
@@ -105,7 +108,7 @@ def main() -> None:
     for i in range(timed_steps):
         rng, sub = jax.random.split(rng)
         sp, out = step_fn(variables, sp, sub, threshold)
-        jax.block_until_ready(out.search_pi)
+        _ = float(jnp.sum(out.search_pi))  # force real completion (see above)
         done_steps = i + 1
         elapsed = time.time() - t0
         rate = batch * done_steps / elapsed
