@@ -375,9 +375,15 @@ class GoEngine:
             captured |= dies & (state.labels == lab)
         num_captured = jnp.sum(captured, dtype=jnp.int32)
 
-        board1 = state.board.at[r, c].set(
-            jnp.where(is_board_move, color, state.board[r, c]).astype(jnp.int8)
+        # One-hot blend, NOT ``board.at[r, c].set``: a per-lane 2-D scatter
+        # under vmap serializes on TPU (the Gomoku 36x step-time finding,
+        # PERF.md) and on the axon backend at batch >= ~2048 silently DROPS
+        # writes with flat index >= 64 — boards diverged from CPU until this
+        # blend (caught by the pro-corpus replay, round 4).
+        point_oh_b = (
+            jnp.arange(sent, dtype=jnp.int32).reshape(n, n) == a
         )
+        board1 = jnp.where(point_oh_b & is_board_move, color, state.board)
         new_board = jnp.where(captured, jnp.int8(EMPTY), board1)
         new_board = jnp.where(is_board_move, new_board, state.board)
 
@@ -420,9 +426,7 @@ class GoEngine:
             jnp.logical_or,
             [(state.labels == f) & (f < sent) for f in friendly],
         )
-        point_oh = (
-            jnp.arange(sent, dtype=jnp.int32).reshape(n, n) == a
-        )
+        point_oh = point_oh_b
         labels = jnp.where(absorbed | point_oh, merged, state.labels)
         labels = jnp.where(captured, float(sent), labels)
         labels = jnp.where(is_board_move, labels, state.labels)
