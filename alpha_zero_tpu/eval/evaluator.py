@@ -169,6 +169,18 @@ class Evaluator:
         self.dataset = dataset
         self.prev_variables = None
 
+    def restore_continuity(self, rating: float, prev_variables=None) -> None:
+        """Resume support: carries the Elo history and the previous-model
+        weights across a process restart. The reference threads the last
+        rating back in by hand via ``--default_rating``
+        (pipeline.py:713-718); here the trainer reads it from the last
+        evaluation.csv row. After every ``evaluate`` both sides hold the
+        same (promoted) rating, so one scalar restores the pair."""
+        self.black_elo = EloRating(rating=rating)
+        self.white_elo = EloRating(rating=rating)
+        if prev_variables is not None:
+            self.prev_variables = prev_variables
+
     def evaluate(self, variables) -> Dict:
         """Evaluates ``variables`` (the latest ckpt) vs the previous one."""
         if self.prev_variables is None:

@@ -290,6 +290,7 @@ class Trainer:
         self.eval_writer = CsvWriter(os.path.join(cfg.run.logs_dir, "evaluation.csv"),
                                      buffer_size=1)
         self.evaluator = None  # built lazily by enable_evaluator()
+        self._eval_failures = 0  # consecutive-failure escalation counter
         self._replay_path = os.path.join(
             cfg.run.ckpt_dir,
             f"replay_state_p{self.process_index}.npz" if self.multihost
@@ -582,11 +583,50 @@ class Trainer:
             dataset = build_eval_dataset(
                 cfg.run.eval_games_dir, cfg.env.board_size, cfg.env.num_stack,
                 logger=self.logger,
+                cache_path=os.path.join(
+                    cfg.run.ckpt_dir,
+                    f"eval_dataset_{cfg.env.board_size}x{cfg.env.board_size}.npz",
+                ),
             )
         self.evaluator = Evaluator(
             self.engine, self.net, cfg.search,
             default_rating=cfg.run.default_rating, dataset=dataset,
         )
+        # Resume continuity: a restarted run must continue the SAME Elo
+        # curve (the reference threads this by hand via --default_rating,
+        # pipeline.py:713-718 — here it's automatic from the last
+        # evaluation.csv row) and compare its first new checkpoint against
+        # the RESUMED weights, not against itself.
+        if self.training_steps > 0:
+            rating = self._last_recorded_rating()
+            prev = self.variables
+            if self.multihost:
+                prev = self._mh.host_resident_value(prev) if self.is_host0 else None
+            else:
+                prev = jax.device_get(prev)
+            self.evaluator.restore_continuity(
+                rating if rating is not None else cfg.run.default_rating,
+                prev_variables=prev,
+            )
+            if rating is not None:
+                self.logger.info(
+                    f"Evaluator resumed: Elo {rating:.2f} from last "
+                    f"evaluation.csv row, prev model = resumed checkpoint"
+                )
+
+    def _last_recorded_rating(self) -> Optional[float]:
+        """Last black (i.e. promoted) Elo rating written to evaluation.csv."""
+        path = os.path.join(self.cfg.run.logs_dir, "evaluation.csv")
+        try:
+            with open(path) as f:
+                import csv as _csv
+
+                rows = list(_csv.DictReader(f))
+            if not rows:
+                return None
+            return float(rows[-1]["black_elo_rating"])
+        except (OSError, KeyError, ValueError):
+            return None
 
     def run_evaluation(self) -> Optional[dict]:
         """Evaluates the current weights; writes evaluation.csv + eval SGF.
@@ -608,9 +648,18 @@ class Trainer:
             # The reference evaluator is a separate process whose death never
             # takes down the learner (training_go.py:292-314); keep that
             # isolation — a failed evaluation (e.g. a transient device error)
-            # skips this checkpoint's row and training continues.
-            self.logger.warning(f"evaluation failed for step {self.training_steps}: {e}")
+            # skips this checkpoint's row and training continues. But a
+            # DETERMINISTIC evaluator bug would fail every checkpoint the
+            # same way, so escalate once the failures stop looking transient.
+            self._eval_failures += 1
+            log = (self.logger.error if self._eval_failures >= 3
+                   else self.logger.warning)
+            log(
+                f"evaluation failed for step {self.training_steps} "
+                f"({self._eval_failures} consecutive): {e}"
+            )
             return None
+        self._eval_failures = 0
         moves = stats.pop("_moves", [])
         row = {"datetime": get_time_stamp(), "training_steps": self.training_steps,
                **stats}

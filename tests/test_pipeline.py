@@ -85,3 +85,52 @@ def test_resume_from_checkpoint(tmp_path):
     assert trainer2.training_steps == 6
     trainer2.run()
     assert trainer2.training_steps == 9
+
+
+def test_elo_continuity_across_resume(tmp_path):
+    """A killed-and-resumed run continues ONE Elo history: the restarted
+    evaluator seeds its rating pair from the last evaluation.csv row and its
+    prev-model from the resumed weights, instead of resetting both to
+    defaults (reference threads the rating by hand via --default_rating,
+    pipeline.py:713-718)."""
+    import csv
+    import dataclasses
+
+    cfg = micro_config(tmp_path)
+    trainer = pipeline.Trainer(cfg)
+    trainer.enable_evaluator()
+    trainer.run()
+    eval_csv = os.path.join(cfg.run.logs_dir, "evaluation.csv")
+    with open(eval_csv) as f:
+        rows = list(csv.DictReader(f))
+    assert rows, "first segment wrote evaluation rows"
+    last_rating = float(rows[-1]["black_elo_rating"])
+
+    cfg2 = dataclasses.replace(
+        cfg,
+        run=dataclasses.replace(cfg.run, load_ckpt=trainer.latest_ckpt_path),
+        train=dataclasses.replace(cfg.train, max_training_steps=9),
+    )
+    trainer2 = pipeline.Trainer(cfg2)
+    trainer2.enable_evaluator()
+    # The resumed evaluator starts from the recorded rating, not the default.
+    assert trainer2.evaluator.black_elo.rating == last_rating
+    assert trainer2.evaluator.white_elo.rating == last_rating
+    # And compares the next checkpoint against the RESUMED weights (not None,
+    # which would make the first post-resume eval latest-vs-itself).
+    assert trainer2.evaluator.prev_variables is not None
+
+    trainer2.run()
+    with open(eval_csv) as f:
+        rows2 = list(csv.DictReader(f))
+    assert len(rows2) > len(rows)
+    seg2 = rows2[len(rows):]
+    # Every post-resume rating is one Elo update away from a real history
+    # seeded at last_rating: with K<=32 a single game moves a rating by at
+    # most 32, so the first resumed row must be within 32 of the seed —
+    # a default-rating reset (back to 0 from a nonzero curve) would violate
+    # this whenever |last_rating| > 32; structurally we assert continuity by
+    # checking the first resumed row's pair derives from last_rating.
+    first = seg2[0]
+    b, w = float(first["black_elo_rating"]), float(first["white_elo_rating"])
+    assert abs(b - last_rating) <= 32.0 and abs(w - last_rating) <= 32.0
