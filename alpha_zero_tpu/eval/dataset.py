@@ -314,11 +314,31 @@ def replay_games_batched(board_size: int, num_stack: int, games,
 
 def build_eval_dataset(games_dir: str, board_size: int, num_stack: int,
                        logger=None, fast: bool = True, chunk_size: int = 2048,
+                       cache_path: Optional[str] = None,
                        **kwargs) -> EvalDataset:
     """Builds the dataset; ``fast`` replays all games in lockstep on device
     (length-sorted chunks to bound padding), falling back to the per-game
-    host path when off."""
+    host path when off.
+
+    ``cache_path``: npz file to load/store the built tensors. The reference
+    rebuilds the corpus from SGF on every evaluator start (~7 min for the
+    10k-game CGOS corpus, logs/go/9x9/run.log:5); under a crash-resume
+    supervisor that cost recurs per restart, so the first build persists the
+    tensors and later starts load in seconds."""
     logger = logger or create_logger()
+    if cache_path and os.path.exists(cache_path):
+        z = np.load(cache_path)
+        ds = EvalDataset(
+            states=z["states"], target_pi=z["target_pi"], target_v=z["target_v"],
+            num_games=int(z["num_games"]),
+            mismatch_stats={k: int(v) for k, v in zip(z["mismatch_keys"],
+                                                      z["mismatch_vals"])},
+        )
+        logger.info(
+            f"Loaded cached eval dataset {cache_path}: {len(ds)} positions "
+            f"from {ds.num_games} games"
+        )
+        return ds
     builder = DatasetBuilder(board_size, num_stack, logger, **kwargs)
     states, target_pi, target_v = [], [], []
     valid_games = 0
@@ -388,4 +408,13 @@ def build_eval_dataset(games_dir: str, board_size: int, num_stack: int,
         mismatch_stats=builder.mismatch,
     )
     logger.info(f"Finished loading {len(dataset)} positions from {valid_games} games")
+    if cache_path:
+        os.makedirs(os.path.dirname(os.path.abspath(cache_path)), exist_ok=True)
+        np.savez_compressed(
+            cache_path, states=dataset.states, target_pi=dataset.target_pi,
+            target_v=dataset.target_v, num_games=dataset.num_games,
+            mismatch_keys=np.array(list(dataset.mismatch_stats), dtype=str),
+            mismatch_vals=np.array(list(dataset.mismatch_stats.values())),
+        )
+        logger.info(f"Cached eval dataset to {cache_path}")
     return dataset
