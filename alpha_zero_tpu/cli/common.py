@@ -15,11 +15,17 @@ def enable_compile_cache() -> None:
     big search program can take minutes; reruns then load it in seconds).
     Called by every CLI entry point. Override the location with
     JAX_CACHE_DIR; set JAX_CACHE_DIR= (empty) to disable."""
-    cache_dir = os.environ.get(
-        "JAX_CACHE_DIR",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))), ".jax_cache"),
-    )
+    default_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".jax_cache")
+    if "JAX_CACHE_DIR" not in os.environ and not os.access(
+        os.path.dirname(default_dir), os.W_OK
+    ):
+        # Installed into a read-only site-packages: fall back to the user
+        # cache instead of failing to persist compilations.
+        default_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "alpha_zero_tpu", "jax"
+        )
+    cache_dir = os.environ.get("JAX_CACHE_DIR", default_dir)
     if not cache_dir:
         return
     import jax

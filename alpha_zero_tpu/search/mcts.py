@@ -78,6 +78,12 @@ INDEXING = os.environ.get("AZT_INDEXING", "onehot")
 # Per-piece override: which hot-loop pieces use the gather lowering when
 # INDEXING == "gather" (bisection/tuning knob; AZT_GATHER_PIECES is a comma
 # list drawn from the full set below).
+#
+# NOTE: both AZT_INDEXING and AZT_GATHER_PIECES are read ONCE, at import
+# time. Setting them after `import alpha_zero_tpu.search.mcts` has no
+# effect; set them in the environment before Python starts (as bench.py
+# does) or monkeypatch the module globals INDEXING / GATHER_PIECES (as
+# tests/test_indexing_paths.py does).
 _ALL_PIECES = ("select", "state", "materialize", "expand", "history")
 GATHER_PIECES = frozenset(
     p for p in os.environ.get("AZT_GATHER_PIECES", ",".join(_ALL_PIECES)).split(",")
@@ -125,10 +131,21 @@ def _node_state_of(gs: GameState) -> NodeState:
 
 def _game_state_of(ns: NodeState, num_actions: int) -> GameState:
     """Reconstructs a full batched GameState for the engine step from stored
-    node fields. Dummied fields are exactly those ``step_core`` never reads:
-    the parent's ``legal``/``ko`` are already folded into the stored child
-    priors, ``done`` nodes are never stepped (selection stops at terminal
-    children), and history at num_stack=1 is the board itself."""
+    node fields. Dummied fields fall into two classes — do NOT consume the
+    second class from tree nodes:
+
+    - never read by ``step_core``: the parent's ``legal``/``ko`` are already
+      folded into the stored child priors (-1 sentinel), and history at
+      num_stack=1 duplicates the board.
+    - read but benign-and-discarded: ``captures`` (go.py:395) and
+      ``num_passes`` (go.py:444) accumulate from the dummy zeros, and
+      ``done=False`` means an already-terminal node WOULD step a phantom
+      move (the finished-game no-op guard, go.py:454 / gomoku.py:139, never
+      fires). All three are safe only because selection stops at terminal
+      children — a done node is never chosen as the expansion leaf — and
+      because the expanded child's captures/num_passes/winner are never read
+      back out of the tree. A future consumer of those per-node fields must
+      store ``done`` (and the true counters) in NodeState first."""
     b = ns.board.shape[0]
     zi = jnp.zeros((b,), jnp.int32)
     return GameState(

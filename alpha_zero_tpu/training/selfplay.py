@@ -289,9 +289,13 @@ class EpisodeAccumulator:
     def add_step(self, out: StepOutput) -> list[FinishedGame]:
         obs = np.asarray(out.obs)
         pi = np.asarray(out.search_pi)
-        to_play = np.asarray(out.to_play)
-        move = np.asarray(out.move)
-        done = np.asarray(out.done)
+        # One vectorized device->host->list conversion per array; the per-slot
+        # loop then touches plain Python ints (a per-element np scalar cast
+        # here costs ~5 Python/numpy calls per slot per step, the dominant
+        # host-side term at large batch).
+        to_play = np.asarray(out.to_play).tolist()
+        move = np.asarray(out.move).tolist()
+        done_idx = np.flatnonzero(np.asarray(out.done))
         winner = np.asarray(out.winner)
 
         finished: list[FinishedGame] = []
@@ -302,12 +306,12 @@ class EpisodeAccumulator:
             # move history only (envs/go.py:101-122).
             self._obs[i].append(obs[i])
             self._pi[i].append(pi[i])
-            self._to_play[i].append(int(to_play[i]))
-            if int(move[i]) != RESIGN:
-                color = "B" if int(to_play[i]) == 1 else "W"
-                self._moves[i].append((color, int(move[i])))
-            if done[i]:
-                finished.append(self._finalize(i, out, i_winner=int(winner[i])))
+            self._to_play[i].append(to_play[i])
+            if move[i] != RESIGN:
+                color = "B" if to_play[i] == 1 else "W"
+                self._moves[i].append((color, move[i]))
+        for i in done_idx:
+            finished.append(self._finalize(int(i), out, i_winner=int(winner[i])))
         return finished
 
     def _finalize(self, i: int, out: StepOutput, i_winner: int) -> FinishedGame:

@@ -6,7 +6,12 @@ self-play, host-local replay, DP learner, collective orbax checkpoint —
 the topology that replaces the reference's mp.Process fleet
 (training_go.py:276-347).
 
-Usage: python multihost_worker.py <process_id> <num_processes> <port> <workdir>
+Usage: python multihost_worker.py <process_id> <num_processes> <port> <workdir> [mdl]
+
+With mdl=2 each host's 2 virtual devices span the model axis (global mesh
+('dp': nproc, 'mdl': 2)): batch rows are REPLICATED across each host's mdl
+pair, exercising the ``global_to_local`` shard dedup for real across
+processes.
 """
 
 import os
@@ -15,6 +20,7 @@ import sys
 pid, nproc, port, workdir = (
     int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4],
 )
+mdl = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
 )
@@ -52,7 +58,7 @@ cfg = override(
     env=dict(board_size=5, num_to_win=4, max_steps=25, num_stack=2),
     network=dict(num_res_blocks=1, num_filters=8, num_fc_units=8),
     search=dict(num_simulations=4, warm_up_steps=4, reuse_subtree=True),
-    parallel=dict(selfplay_batch_size=4, dp=4, mdl=1),
+    parallel=dict(selfplay_batch_size=4, dp=(2 * nproc) // mdl, mdl=mdl),
     train=dict(min_games=8, games_per_ckpt=4, batch_size=8,
                max_training_steps=4, ckpt_interval=2, log_interval=1,
                replay_capacity=4096, drop_straddling_games=True),
@@ -62,7 +68,29 @@ cfg = override(
 )
 
 trainer = Trainer(cfg)
-assert trainer.multihost and trainer.mesh.shape == {"dp": 2 * nproc, "mdl": 1}
+assert trainer.multihost and trainer.mesh.shape == {
+    "dp": (2 * nproc) // mdl, "mdl": mdl,
+}
+
+# Harvest dedup round-trip: each host's rows of a dp-sharded global array
+# must come back exactly once and in order. With mdl > 1 every dp row block
+# is replicated across the mdl axis, so a broken ``global_to_local`` (no
+# per-row-start dedup) would return each row ``mdl`` times.
+import numpy as np  # noqa: E402
+
+from alpha_zero_tpu.parallel import multihost  # noqa: E402
+
+local_rows = (np.arange(4, dtype=np.int32)[:, None]
+              + 100 * (pid + 1)) * np.ones((1, 3), np.int32)
+roundtrip = multihost.global_to_local(
+    multihost.local_to_global(trainer.mesh, local_rows)
+)
+assert roundtrip.shape == local_rows.shape, (
+    f"global_to_local returned {roundtrip.shape} for local rows "
+    f"{local_rows.shape} — duplicated mdl-replicated shards?"
+)
+assert np.array_equal(roundtrip, local_rows), (roundtrip, local_rows)
+
 trainer.run()
 
 # Every process must see the final step count; the checkpoint is collective.

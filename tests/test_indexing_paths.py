@@ -68,3 +68,37 @@ def test_gather_matches_onehot(monkeypatch, reuse):
     np.testing.assert_array_equal(
         np.asarray(trees_g.states.board), np.asarray(trees_o.states.board)
     )
+
+
+@pytest.mark.parametrize("piece", sorted(mcts._ALL_PIECES))
+def test_single_piece_gather_matches_onehot(monkeypatch, piece):
+    """Each GATHER_PIECES subset lowering is pinned equal independently —
+    a regression in any one hybrid path can't hide behind the all-or-nothing
+    parity above."""
+    engine = GoEngine(board_size=5, num_stack=4)
+    batch, sims = 4, 16
+    roots = engine.init_batch(batch)
+    rng = jax.random.PRNGKey(2)
+    for _ in range(2):
+        rng, sub = jax.random.split(rng)
+        logits = jnp.log(jnp.maximum(roots.legal, 1e-9))
+        mv = jax.random.categorical(sub, logits, axis=-1).astype(jnp.int32)
+        roots = engine.step_batch(roots, mv)
+
+    results = {}
+    for mode, pieces in (("onehot", mcts._ALL_PIECES), ("gather", (piece,))):
+        monkeypatch.setattr(mcts, "INDEXING", mode)
+        monkeypatch.setattr(mcts, "GATHER_PIECES", frozenset(pieces))
+        out = mcts.batched_search(
+            _uniform_eval(engine), engine, roots, jax.random.PRNGKey(3),
+            num_simulations=sims, root_noise=False,
+        )
+        results[mode] = out
+
+    np.testing.assert_array_equal(
+        np.asarray(results["gather"].child_N), np.asarray(results["onehot"].child_N)
+    )
+    np.testing.assert_allclose(
+        np.asarray(results["gather"].child_W),
+        np.asarray(results["onehot"].child_W), atol=1e-5,
+    )

@@ -58,7 +58,7 @@ def _single_process_losses():
     return float(metrics.policy_loss), float(metrics.value_loss)
 
 
-def test_two_process_training_run():
+def _run_two_process_training(mdl: int) -> None:
     port = _free_port()
     workdir = tempfile.mkdtemp(prefix="mh_test_")
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
@@ -67,7 +67,7 @@ def test_two_process_training_run():
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(pid), "2", str(port), workdir],
+            [sys.executable, worker, str(pid), "2", str(port), workdir, str(mdl)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
         )
         for pid in range(2)
@@ -94,8 +94,14 @@ def test_two_process_training_run():
     assert loss_lines, outs[0][-2000:]
     sharded_pi, sharded_v = map(float, loss_lines[0].split()[1:3])
     expect_pi, expect_v = _single_process_losses()
-    assert abs(sharded_pi - expect_pi) < 1e-4, (sharded_pi, expect_pi)
-    assert abs(sharded_v - expect_v) < 1e-4, (sharded_v, expect_v)
+    # mdl=1 (pure dp) is numerically tight. mdl>1 shards layer output
+    # channels, which re-partitions the bf16 compute-dtype matmuls — layers
+    # whose width divides mdl accumulate in a different order and drift at
+    # bf16 epsilon (~1e-2 relative); layers whose width doesn't divide stay
+    # replicated and bit-exact (measured: pi head exact, value head ~3e-3).
+    tol = 1e-4 if mdl == 1 else 1e-2
+    assert abs(sharded_pi - expect_pi) < tol, (sharded_pi, expect_pi)
+    assert abs(sharded_v - expect_v) < tol, (sharded_v, expect_v)
 
     # Collective checkpoint written once; host0 wrote the training CSV; both
     # hosts harvested games into their own actor CSVs.
@@ -106,3 +112,17 @@ def test_two_process_training_run():
     with open(os.path.join(workdir, "logs0", "training.csv")) as f:
         rows = f.read().strip().splitlines()
     assert len(rows) >= 3  # header + steps
+
+
+def test_two_process_training_run():
+    _run_two_process_training(mdl=1)
+
+
+def test_two_process_mdl2_training_run():
+    """2 processes x mdl=2 (global mesh ('dp': 2, 'mdl': 2)): batch rows are
+    replicated across each host's mdl device pair, so harvesting exercises
+    the ``global_to_local`` per-row-start shard dedup across real processes
+    (the worker asserts the local_to_global round-trip returns each host's
+    rows exactly once) alongside mdl-sharded params + train-loss
+    equivalence."""
+    _run_two_process_training(mdl=2)

@@ -1,0 +1,43 @@
+#!/bin/bash
+# Crash-resume supervisor for cli.train on the tunneled TPU.
+#
+# The axon TPU tunnel intermittently fails with transient backend errors
+# (~every 10 min in the round-3 gomoku9 run); this loop restarts training
+# from the latest checkpoint + saved replay until it exits cleanly (step
+# budget reached) or MAX_RESTARTS is hit. Elo/evaluator continuity across
+# restarts is automatic (Trainer seeds the evaluator from the last
+# evaluation.csv row and the resumed weights — pipeline.enable_evaluator).
+#
+# Usage: tools/supervise_train.sh <config> <ckpt_dir> [extra --set overrides...]
+set -u
+CONFIG="$1"; CKPT_DIR="$2"; shift 2
+MAX_RESTARTS="${MAX_RESTARTS:-200}"
+
+for i in $(seq 1 "$MAX_RESTARTS"); do
+  LATEST=$(python - "$CKPT_DIR" <<'EOF'
+import sys
+from alpha_zero_tpu.training.checkpoint import latest_checkpoint
+print(latest_checkpoint(sys.argv[1]) or "")
+EOF
+)
+  RESUME=()
+  if [ -n "$LATEST" ]; then
+    RESUME+=("--set" "run.load_ckpt=$LATEST")
+    if [ -f "$CKPT_DIR/replay_state.npz" ]; then
+      RESUME+=("--set" "run.load_replay=$CKPT_DIR/replay_state.npz")
+    fi
+    echo "=== supervisor: attempt $i resuming from $LATEST ==="
+  else
+    echo "=== supervisor: attempt $i fresh start ==="
+  fi
+  python -m alpha_zero_tpu.cli.train --config "$CONFIG" "${RESUME[@]}" "$@"
+  rc=$?
+  if [ $rc -eq 0 ]; then
+    echo "=== supervisor: training finished cleanly ==="
+    exit 0
+  fi
+  echo "=== supervisor: train exited rc=$rc; restarting in 5s ==="
+  sleep 5
+done
+echo "=== supervisor: gave up after $MAX_RESTARTS restarts ==="
+exit 1
