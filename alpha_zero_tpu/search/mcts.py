@@ -184,11 +184,15 @@ class Tree:
     #                              ILLEGAL actions (select reads one row for
     #                              both prior and legality — the node's legal
     #                              mask never changes after creation)
-    children_index: jnp.ndarray  # f32[T, A]; node id of child, -1 unmaterialized
-    #                              (float-native: exact small ints, avoids
-    #                               whole-array converts in the select loop)
     parent_index: jnp.ndarray    # f32[T]; -1 for root (float-native index)
     action_from_parent: jnp.ndarray  # f32[T]
+    # There is deliberately NO children_index [T, A] array: a node's child
+    # row is DERIVED from (parent_index, action_from_parent) by
+    # _children_row — each (parent, action) pair is written once, so the
+    # one-hot contraction over the two [T] vectors reconstructs the exact
+    # row. Storing it cost a [T, A] HBM fetch per descent step in select, a
+    # [T, A] blend in materialize, and a [T, A] permute in reroot — 2-4x the
+    # bytes of everything else those phases touch (round-4 profile split).
     node_expanded: jnp.ndarray   # bool[T]; has priors (terminal nodes never do)
     node_done: jnp.ndarray       # f32[T]; 1.0 when game over at this node
     node_reward: jnp.ndarray     # f32[T]; reward emitted by the creating step
@@ -224,6 +228,13 @@ def _elem(vec: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return _oh(idx, vec.shape[0]) @ vec
 
 
+def _elem_exact(vec: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Like :func:`_elem` but bit-exact on TPU — for float-native NODE IDS,
+    which the default f32-dot path would round to bf16 (exact only <= 256)."""
+    return jnp.dot(_oh(idx, vec.shape[0]), vec,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
 def _fetch_row(arr: jnp.ndarray, i: jnp.ndarray) -> jnp.ndarray:
     """arr[i] for a 2-D array and in-range scalar index (per-lane form; a
     batched gather under vmap when INDEXING == 'gather')."""
@@ -248,6 +259,31 @@ def _fetch_elems(vec: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return oh @ vec
 
 
+def _children_row(parent_index: jnp.ndarray, action_from_parent: jnp.ndarray,
+                  cur: jnp.ndarray, num_actions: int) -> jnp.ndarray:
+    """f32[A] row of ``cur``'s child node ids (-1 where unmaterialized),
+    reconstructed from the two [T] parent/action vectors (per-lane form).
+
+    Each (parent, action) pair is materialized at most once, so the masked
+    one-hot contraction Σ_t [parent_t == cur][action_t == a] * t recovers the
+    unique child id exactly. HBM traffic is two [T] vectors (~1.6KB) instead
+    of a stored [T, A] row fetch (~66KB at go9 sizes) — the same result the
+    select loop used to read from the deleted ``children_index`` array.
+    """
+    capacity = parent_index.shape[0]
+    t_iota_f = jnp.arange(capacity, dtype=jnp.float32)
+    a_iota_f = jnp.arange(num_actions, dtype=jnp.float32)
+    mask = parent_index == cur.astype(jnp.float32)
+    oh = (mask[:, None] & (action_from_parent[:, None] == a_iota_f[None, :])
+          ).astype(jnp.float32)
+    # HIGHEST precision: node ids must stay EXACT through the dot; the TPU's
+    # default f32-dot path rounds operands to bf16 (integers > 256 — any
+    # tree with more than 256 nodes — would corrupt).
+    ids = jnp.dot(t_iota_f, oh, precision=jax.lax.Precision.HIGHEST)
+    cnt = jnp.ones((capacity,), jnp.float32) @ oh
+    return jnp.where(cnt > 0, ids, -1.0)
+
+
 def _matmul_state(states: GameState, m_f: jnp.ndarray, capacity: int,
                   out_rows: Optional[int] = None) -> GameState:
     """Applies a {0,1} row-selection matrix ``m_f [R, T]`` to every [T, ...]
@@ -268,9 +304,12 @@ def _matmul_state(states: GameState, m_f: jnp.ndarray, capacity: int,
                 preferred_element_type=jnp.int32,
             ).astype(jnp.int8)
         elif leaf.dtype == jnp.float32:
-            out = m_f @ flat
+            out = jnp.dot(m_f, flat, precision=jax.lax.Precision.HIGHEST)
         else:
-            out = (m_f @ flat.astype(jnp.float32)).astype(leaf.dtype)
+            # i16 payloads (labels/liberties, values up to N*N): HIGHEST so
+            # integers above 256 survive the TPU's bf16 f32-dot rounding.
+            out = jnp.dot(m_f, flat.astype(jnp.float32),
+                          precision=jax.lax.Precision.HIGHEST).astype(leaf.dtype)
         return out.reshape((rows,) + leaf.shape[1:])
 
     return jax.tree.map(g, states)
@@ -390,7 +429,6 @@ def _make_empty_tree(root_state: GameState, root_history: jnp.ndarray,
         node_N=jnp.zeros((capacity,), jnp.float32),
         node_W=jnp.zeros((capacity,), jnp.float32),
         child_P=jnp.full((capacity, num_actions), -1.0, jnp.float32),
-        children_index=jnp.full((capacity, num_actions), -1.0, jnp.float32),
         parent_index=jnp.full((capacity,), -1.0, jnp.float32),
         action_from_parent=jnp.full((capacity,), -1.0, jnp.float32),
         node_expanded=jnp.zeros((capacity,), jnp.bool_),
@@ -478,7 +516,8 @@ def _select_leaf(tree: Tree, path_cap: int, c_puct_base: float,
         # PUCT over cur's children (mcts_v2.py:99-109, 142-186). The stored
         # prior is -1 on illegal actions (see _mask_prior), so one row fetch
         # yields both the prior and the legality mask.
-        ci_row = _fetch_row(tree.children_index, cur)  # f32 child ids, -1 = none
+        ci_row = _children_row(tree.parent_index, tree.action_from_parent,
+                               cur, tree.child_P.shape[-1])  # f32 ids, -1 = none
         p_row = _fetch_row(tree.child_P, cur)
         legal_row = p_row >= 0.0
         ci_i = jnp.clip(ci_row, 0.0, capacity - 1).astype(jnp.int32)
@@ -492,7 +531,8 @@ def _select_leaf(tree: Tree, path_cap: int, c_puct_base: float,
         scores = jnp.where(legal_row, -q + u, -9999.0)
         action = jnp.argmax(scores).astype(jnp.int32)
 
-        child = _fetch_elem(ci_row, action).astype(jnp.int32)
+        child = (jnp.take(ci_row, action) if _use_gather("select")
+                 else _elem_exact(ci_row, action)).astype(jnp.int32)
         child_c = jnp.clip(child, 0, capacity - 1)
         is_new = child < 0
         is_term = ~is_new & (_fetch_elem(tree.node_done, child_c) > 0.5)
@@ -557,7 +597,6 @@ def _materialize(tree: Tree, slot: jnp.ndarray, parent: jnp.ndarray,
     an existing terminal node or the lane's budget is spent.
     Returns (tree, leaf, needs_eval)."""
     capacity = tree.node_N.shape[0]
-    num_actions = tree.child_P.shape[-1]
     is_new = ~hit_terminal & active & (slot < capacity)
     slot_i = jnp.clip(slot, 0, capacity - 1)
     oh_b = (_oh(slot_i, capacity) * is_new) > 0.5
@@ -568,13 +607,9 @@ def _materialize(tree: Tree, slot: jnp.ndarray, parent: jnp.ndarray,
         ),
         tree.states, new_node,
     )
-    # Link parent -> slot via a one-hot outer-product blend (per-lane (row,
-    # col) scatter would serialize).
-    link = (_oh(parent, capacity)[:, None] * _oh(action, num_actions)[None, :]
-            * is_new) > 0.5
-    children_index = jnp.where(
-        link, slot_i.astype(jnp.float32), tree.children_index
-    )
+    # The parent -> child link lives entirely in parent_index /
+    # action_from_parent (written below); there is no children_index array
+    # to update (see Tree docstring).
 
     tree = tree.replace(
         states=states,
@@ -586,7 +621,6 @@ def _materialize(tree: Tree, slot: jnp.ndarray, parent: jnp.ndarray,
         node_reward=jnp.where(oh_b, new_reward, tree.node_reward),
         node_N=jnp.where(oh_b, 0.0, tree.node_N),
         node_W=jnp.where(oh_b, 0.0, tree.node_W),
-        children_index=children_index,
         num_nodes=tree.num_nodes + is_new.astype(jnp.float32),
     )
     leaf = jnp.where(is_new, slot_i, jnp.clip(existing_child, 0, capacity - 1))
@@ -614,9 +648,6 @@ def _materialize_scatter(tree: Tree, slot: jnp.ndarray, parent: jnp.ndarray,
         return arr.at[bidx, widx].set(rows, mode="drop", unique_indices=True)
 
     states = jax.tree.map(put_rows, tree.states, new_node)
-    children_index = tree.children_index.at[
-        bidx, jnp.where(is_new, parent, capacity), action
-    ].set(slot_i.astype(jnp.float32), mode="drop", unique_indices=True)
 
     tree = tree.replace(
         states=states,
@@ -628,7 +659,6 @@ def _materialize_scatter(tree: Tree, slot: jnp.ndarray, parent: jnp.ndarray,
         node_reward=put_rows(tree.node_reward, new_reward),
         node_N=put_rows(tree.node_N, jnp.zeros((batch,), jnp.float32)),
         node_W=put_rows(tree.node_W, jnp.zeros((batch,), jnp.float32)),
-        children_index=children_index,
         num_nodes=tree.num_nodes + is_new.astype(jnp.float32),
     )
     leaf = jnp.where(is_new, slot_i, jnp.clip(existing_child, 0, capacity - 1))
@@ -719,7 +749,12 @@ def _descendant_mask(parent_index: jnp.ndarray, root: jnp.ndarray) -> jnp.ndarra
         oh = (par_i[:, None] == iota[None, :]).astype(jnp.float32)
         valid = (par >= 0).astype(jnp.float32)
         desc = jnp.maximum(desc, (oh @ desc) * valid)
-        par = jnp.where(par >= 0, oh @ par, -1.0)  # par[par[i]]
+        # par[par[i]]: ids must stay exact (see _elem_exact).
+        par = jnp.where(
+            par >= 0,
+            jnp.dot(oh, par, precision=jax.lax.Precision.HIGHEST),
+            -1.0,
+        )
     return desc
 
 
@@ -737,7 +772,18 @@ def _reroot_one(tree: Tree, move: jnp.ndarray, done: jnp.ndarray,
     empty tree (uct_search then recreates the root, mcts_v2.py:364-368).
     """
     capacity = tree.node_N.shape[0]
-    child_f = _oh(jnp.clip(move, 0, num_actions - 1), num_actions) @ tree.children_index[0]
+    # Root's child for ``move``, from the parent/action vectors (the stored
+    # children_index array is gone — see Tree docstring).
+    link = (tree.parent_index == 0.0) & (
+        tree.action_from_parent == move.astype(jnp.float32)
+    )
+    link_f = link.astype(jnp.float32)
+    child_f = jnp.where(
+        link_f.sum() > 0,
+        jnp.dot(link_f, jnp.arange(capacity, dtype=jnp.float32),
+                precision=jax.lax.Precision.HIGHEST),  # exact node id
+        -1.0,
+    )
     valid = (~done) & (move >= 0) & (child_f >= 0.0)
     child = jnp.clip(child_f, 0.0, float(capacity - 1)).astype(jnp.int32)
 
@@ -754,17 +800,22 @@ def _reroot_one(tree: Tree, move: jnp.ndarray, done: jnp.ndarray,
         return jnp.where(vals >= 0, newidx[v], -1.0)
 
     in_use = jr < m_count
+    # All reroot matmuls at HIGHEST precision: this runs once per MOVE (not
+    # per simulation), and several operands are float-native integers (node
+    # ids, actions, visit counts) that the TPU's default bf16 f32-dot path
+    # would round above 256; carrying stats (W, P) bit-exactly across moves
+    # also prevents cumulative per-move quantization of the reused subtree.
+    hp = functools.partial(jnp.dot, precision=jax.lax.Precision.HIGHEST)
     rerooted = Tree(
-        node_N=perm @ tree.node_N,
-        node_W=perm @ tree.node_W,
-        child_P=perm @ tree.child_P,
-        children_index=jnp.where(in_use[:, None], perm @ remap(tree.children_index), -1.0),
-        parent_index=jnp.where(in_use, perm @ remap(tree.parent_index), -1.0),
-        action_from_parent=jnp.where(in_use, perm @ tree.action_from_parent, -1.0)
+        node_N=hp(perm, tree.node_N),
+        node_W=hp(perm, tree.node_W),
+        child_P=hp(perm, tree.child_P),
+        parent_index=jnp.where(in_use, hp(perm, remap(tree.parent_index)), -1.0),
+        action_from_parent=jnp.where(in_use, hp(perm, tree.action_from_parent), -1.0)
         .at[0].set(-1.0),
         node_expanded=(perm @ tree.node_expanded.astype(jnp.float32)) > 0.5,
         node_done=perm @ tree.node_done,
-        node_reward=perm @ tree.node_reward,
+        node_reward=hp(perm, tree.node_reward),
         states=_matmul_state(tree.states, perm, capacity),
         root_legal=new_root_state.legal,
         root_history=new_root_history,
@@ -889,16 +940,20 @@ def batched_search(
     loop_len = num_simulations - 1 if max_new_sims is None else max_new_sims
     trees = jax.lax.fori_loop(0, loop_len, sim_body, trees)
 
-    # Root child stats: visits/values of the root's children, action-indexed
-    # (one plain gather outside the hot loop is fine).
-    root_children = trees.children_index[:, 0, :].astype(jnp.int32)
-    safe = jnp.clip(root_children, 0, capacity - 1)
-    child_n = jnp.where(
-        root_children >= 0, jnp.take_along_axis(trees.node_N, safe, axis=1), 0.0
-    )
-    child_w = jnp.where(
-        root_children >= 0, jnp.take_along_axis(trees.node_W, safe, axis=1), 0.0
-    )
+    # Root child stats: per action, the visits/values of the root's child —
+    # one masked one-hot contraction over the [B, T] parent/action vectors
+    # (once per move, outside the hot loop).
+    a_iota_f = jnp.arange(num_actions, dtype=jnp.float32)
+    root_link = (
+        (trees.parent_index[:, :, None] == 0.0)
+        & (trees.action_from_parent[:, :, None] == a_iota_f[None, None, :])
+    ).astype(jnp.float32)  # [B, T, A]
+    # HIGHEST: counts above 256 and f32 W sums must survive exactly (the
+    # default TPU f32-dot path rounds operands to bf16).
+    child_n = jnp.einsum("bta,bt->ba", root_link, trees.node_N,
+                         precision=jax.lax.Precision.HIGHEST)
+    child_w = jnp.einsum("bta,bt->ba", root_link, trees.node_W,
+                         precision=jax.lax.Precision.HIGHEST)
     result = SearchResult(
         child_N=child_n,
         child_W=child_w,

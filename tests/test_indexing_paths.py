@@ -63,7 +63,8 @@ def test_gather_matches_onehot(monkeypatch, reuse):
         np.asarray(trees_g.parent_index), np.asarray(trees_o.parent_index)
     )
     np.testing.assert_array_equal(
-        np.asarray(trees_g.children_index), np.asarray(trees_o.children_index)
+        np.asarray(trees_g.action_from_parent),
+        np.asarray(trees_o.action_from_parent),
     )
     np.testing.assert_array_equal(
         np.asarray(trees_g.states.board), np.asarray(trees_o.states.board)
