@@ -110,19 +110,27 @@ class NodeState:
     fields (envs/go.py:330-455, envs/gomoku.py:105-138)."""
 
     board: jnp.ndarray        # int8[N, N]
-    labels: jnp.ndarray       # int16 group labels (Go; [1,1] dummy for Gomoku)
-    group_libs: jnp.ndarray   # int16 liberties per group root (Go)
+    labels: jnp.ndarray       # int8/int16 group labels (Go; [1,1] dummy for
+    #                           Gomoku); int8 when N*N <= 127
+    group_libs: jnp.ndarray   # int8/int16 liberties per group root (Go)
     to_play: jnp.ndarray      # int8 scalar
     pass_streak: jnp.ndarray  # int32 scalar (Go double-pass termination)
     step_count: jnp.ndarray   # int32 scalar (max_steps termination)
 
 
 def _node_state_of(gs: GameState) -> NodeState:
-    """GameState -> NodeState (elementwise; works batched or per-game)."""
+    """GameState -> NodeState (elementwise; works batched or per-game).
+
+    Labels and liberty counts are flat indices / counts bounded by N*N, so
+    on boards up to 11x11 they fit int8 — halving the bytes of the two
+    widest NodeState leaves that every per-sim state sweep reads (gather /
+    materialize). 19x19 keeps int16 (values up to 361)."""
+    n = gs.board.shape[-1]
+    idt = jnp.int8 if n * n <= 127 else jnp.int16
     return NodeState(
         board=gs.board,
-        labels=gs.labels.astype(jnp.int16),
-        group_libs=gs.group_libs.astype(jnp.int16),
+        labels=gs.labels.astype(idt),
+        group_libs=gs.group_libs.astype(idt),
         to_play=gs.to_play,
         pass_streak=gs.pass_streak,
         step_count=gs.step_count,
