@@ -16,9 +16,15 @@ Usage: python tools/device_parity.py [--game go|gomoku] [--board-size N]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
+
+# Importable when run as a script from anywhere (PYTHONPATH must stay
+# untouched: the session's sitecustomize — which registers the axon TPU
+# plugin — is found through it).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
