@@ -1,5 +1,7 @@
 """Evaluator / Elo / dataset-builder tests."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -134,6 +136,28 @@ KM[0.5]RE[W+0.5]SZ[5]
     assert ds.target_pi[0].argmax() == 11
     # Winner is white: white moves get +1.
     assert ds.target_v[0] == 1.0
+
+
+def test_dataset_cache_roundtrip(tmp_path):
+    sgf_content = """(;CA[UTF-8]RU[Chinese]PB[StrongA (2500)]PW[StrongB (2600)]
+KM[0.5]RE[W+0.5]SZ[5]
+;B[cc];W[bc];B[dd];W[];B[])"""
+    (tmp_path / "game1.sgf").write_text(sgf_content)
+    cache = str(tmp_path / "cache.npz")
+    ds = dataset_lib.build_eval_dataset(
+        str(tmp_path), board_size=5, num_stack=2, cache_path=cache
+    )
+    assert os.path.exists(cache)
+    # Remove the SGF: a cache hit must not re-read the corpus.
+    (tmp_path / "game1.sgf").unlink()
+    ds2 = dataset_lib.build_eval_dataset(
+        str(tmp_path), board_size=5, num_stack=2, cache_path=cache
+    )
+    assert ds2.num_games == ds.num_games and len(ds2) == len(ds)
+    np.testing.assert_array_equal(ds2.states, ds.states)
+    np.testing.assert_array_equal(ds2.target_pi, ds.target_pi)
+    np.testing.assert_array_equal(ds2.target_v, ds.target_v)
+    assert ds2.mismatch_stats == ds.mismatch_stats
 
 
 def test_dataset_builder_filters(tmp_path):
