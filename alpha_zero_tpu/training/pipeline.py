@@ -322,6 +322,54 @@ class Trainer:
                 self._mh.global_sum(self.replay.num_games_added, self.mesh)[0]
             )
 
+        # Resign-threshold continuity: the controller enables the threshold
+        # on the games_added == no_resign_games CROSSING, which a resumed run
+        # past that point never sees again — a restart would silently play
+        # the rest of the run with resignation off (the reference has the
+        # same hole and only recovers at its next reset_fp_interval multiple,
+        # pipeline.py:449-460, 532-536). Re-seed from the last actor-CSV
+        # row's recorded threshold (exact continuity), falling back to the
+        # init threshold (the reference's hard-reset value; FP statistics
+        # restart either way, as they do on its resets).
+        if (
+            cfg.resign.enabled
+            and self.engine.has_resign_move
+            and self.global_games_added >= cfg.resign.no_resign_games
+            and self.resign_controller.threshold <= -1.0
+        ):
+            t = self._last_recorded_resign_threshold()
+            self.resign_controller.threshold = (
+                t if t is not None else cfg.resign.init_resign_threshold
+            )
+            self.logger.info(
+                f"Resign threshold resumed at {self.resign_controller.threshold}"
+            )
+
+    def _last_recorded_resign_threshold(self) -> Optional[float]:
+        """Last ACTIVE threshold in this host's actor CSV. Rows with -1.0 are
+        pre-activation (or written by a restart that hit the continuity hole
+        this function repairs) — an active controller can never reach -1.0
+        (its floor is -0.9999), so only values above -1.0 count."""
+        path = os.path.join(
+            self.cfg.run.logs_dir,
+            f"actor{self.process_index}.csv" if self.multihost else "actor0.csv",
+        )
+        try:
+            import csv as _csv
+
+            last = None
+            with open(path) as f:
+                for row in _csv.DictReader(f):
+                    try:
+                        t = float(row["resign_threshold"])
+                    except (KeyError, ValueError):
+                        continue
+                    if t > -1.0:
+                        last = t
+            return last
+        except OSError:
+            return None
+
     # ------------------------------------------------------------------
     @property
     def variables(self):

@@ -87,6 +87,46 @@ def test_resume_from_checkpoint(tmp_path):
     assert trainer2.training_steps == 9
 
 
+def test_resign_threshold_continuity_across_resume(tmp_path):
+    """A resumed run past no_resign_games must come back with the threshold
+    ACTIVE (seeded from the last active actor-CSV value), not silently play
+    the rest of the run with resignation off — the crossing that enables it
+    (games_added == no_resign_games) never re-fires after resume."""
+    import dataclasses
+
+    cfg = micro_config(tmp_path)
+    cfg = dataclasses.replace(
+        cfg,
+        env=config_lib.EnvConfig(game="go", board_size=5, num_stack=2),
+        resign=config_lib.ResignConfig(
+            init_resign_threshold=-0.88, no_resign_games=2,
+            check_resign_after_steps=4,
+        ),
+        train=dataclasses.replace(cfg.train, min_games=4, games_per_ckpt=3,
+                                  save_replay_interval=2),
+    )
+    trainer = pipeline.train(cfg)
+    assert trainer.resign_controller.threshold > -1.0  # crossing fired live
+
+    # Simulate the post-crash restart: fresh Trainer, checkpoint + replay
+    # loaded, games_added already past no_resign_games.
+    cfg2 = dataclasses.replace(
+        cfg,
+        run=dataclasses.replace(
+            cfg.run, load_ckpt=trainer.latest_ckpt_path,
+            load_replay=trainer._replay_path,
+        ),
+        train=dataclasses.replace(cfg.train, max_training_steps=9),
+    )
+    trainer2 = pipeline.Trainer(cfg2)
+    assert trainer2.replay.num_games_added >= cfg.resign.no_resign_games
+    assert trainer2.resign_controller.threshold > -1.0, (
+        "resumed controller left resignation disabled"
+    )
+    # Exact continuity: the seeded value is the last active recorded one.
+    assert trainer2.resign_controller.threshold == trainer.resign_controller.threshold
+
+
 def test_elo_continuity_across_resume(tmp_path):
     """A killed-and-resumed run continues ONE Elo history: the restarted
     evaluator seeds its rating pair from the last evaluation.csv row and its
