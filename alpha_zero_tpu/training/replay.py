@@ -6,9 +6,12 @@ replacement, whole-state (de)serialization for resume, ``num_games_added`` /
 ``num_samples_added`` accounting.
 
 TPU-native deltas: transitions arrive as *batches* from the device self-play
-program (not one Python object at a time), so storage is three preallocated
-arrays written by slice — no per-item Python overhead, no compression needed
-(int8 observations are already 4x smaller than the reference's float states).
+program (not one Python object at a time), so storage is three NumPy rings
+written by slice — no per-item Python overhead, no compression needed
+(int8 observations are already 4x smaller than the reference's float
+states). The rings grow geometrically with actual fill up to ``capacity``
+(see ``_ensure_alloc``) — the jumbo capacity is 50M samples / 286 GiB,
+which must not be allocated up front.
 """
 
 from __future__ import annotations
@@ -27,17 +30,44 @@ class Transition(NamedTuple):
 class UniformReplay:
     """Uniform random sampling with replacement from a circular buffer."""
 
+    # Rings grow geometrically toward ``capacity`` instead of being
+    # preallocated: the jumbo config's 50M-sample capacity would otherwise
+    # eagerly allocate 286 GiB of host RAM at construction (the reference's
+    # buffer is a Python list that also grows with actual fill,
+    # replay.py:35-59). Until the first wrap, writes are sequential, so the
+    # high-water mark is simply min(num_samples_added, capacity).
+    _GROW_CHUNK = 1 << 16
+
     def __init__(self, capacity: int, obs_shape: Tuple[int, ...], num_actions: int,
                  seed: int = 0) -> None:
         if capacity <= 0:
             raise ValueError(f"Expect capacity to be a positive integer, got {capacity}")
         self.capacity = capacity
-        self.states = np.zeros((capacity,) + tuple(obs_shape), np.int8)
-        self.pi_probs = np.zeros((capacity, num_actions), np.float32)
-        self.values = np.zeros((capacity,), np.float32)
+        alloc = min(capacity, self._GROW_CHUNK)
+        self.states = np.zeros((alloc,) + tuple(obs_shape), np.int8)
+        self.pi_probs = np.zeros((alloc, num_actions), np.float32)
+        self.values = np.zeros((alloc,), np.float32)
         self.random_state = np.random.RandomState(seed)
         self.num_games_added = 0
         self.num_samples_added = 0
+
+    @property
+    def _alloc(self) -> int:
+        return len(self.values)
+
+    def _ensure_alloc(self, rows: int) -> None:
+        if rows <= self._alloc:
+            return
+        new_alloc = min(self.capacity, max(rows, 2 * self._alloc))
+
+        def grow(arr):
+            out = np.zeros((new_alloc,) + arr.shape[1:], arr.dtype)
+            out[: len(arr)] = arr
+            return out
+
+        self.states = grow(self.states)
+        self.pi_probs = grow(self.pi_probs)
+        self.values = grow(self.values)
 
     # -- writes -------------------------------------------------------------
     def add_game(self, states: np.ndarray, pi_probs: np.ndarray, values: np.ndarray) -> None:
@@ -51,6 +81,7 @@ class UniformReplay:
             return
         start = self.num_samples_added % self.capacity
         end = start + n
+        self._ensure_alloc(min(self.capacity, end))
         if end <= self.capacity:
             self.states[start:end] = states
             self.pi_probs[start:end] = pi_probs
