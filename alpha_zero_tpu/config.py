@@ -212,10 +212,14 @@ def gomoku13() -> AlphaZeroConfig:
     return AlphaZeroConfig(
         env=EnvConfig(game="gomoku", board_size=13, num_stack=8, num_to_win=5),
         network=NetworkConfig(num_res_blocks=10, num_filters=40, num_fc_units=80, gomoku=True),
-        # Reuse on (reference always re-roots); no sim cap — full budget per
-        # move, reuse just carries the subtree (strength-neutral).
+        # Reuse on (reference always re-roots). max_new_sims=240 mirrors
+        # go9's 120/200 cap ratio (~0.63): +68% env-steps/s measured
+        # (PERF.md), and the cap measured strength-positive head-to-head at
+        # both other configs (go9 random-weights 184/256, gomoku9 trained
+        # ckpt 149/256). Set max_new_sims=None for the uncapped reference
+        # budget.
         search=SearchConfig(num_simulations=380, warm_up_steps=16,
-                            reuse_subtree=True),
+                            reuse_subtree=True, max_new_sims=240),
         resign=ResignConfig(init_resign_threshold=-1.0, check_resign_after_steps=0,
                             target_fp_rate=0.0, disable_resign_ratio=0.0,
                             reset_fp_interval=0, no_resign_games=0),
