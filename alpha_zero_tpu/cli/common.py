@@ -49,6 +49,10 @@ def apply_override(cfg: Any, dotted: str, raw: str) -> Any:
 def _coerce(raw: str, current: Any) -> Any:
     if isinstance(current, bool):
         return raw.lower() in ("1", "true", "yes", "on")
+    if raw == "" and isinstance(current, (int, float)):
+        # Null out an Optional numeric field (e.g. search.max_new_sims= for
+        # the uncapped reference budget when the config default is an int).
+        return None
     if isinstance(current, int):
         return int(raw)
     if isinstance(current, float):
