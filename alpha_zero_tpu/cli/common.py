@@ -34,25 +34,47 @@ def enable_compile_cache() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
+def _is_optional_field(cls: type, name: str) -> bool:
+    """True when the dataclass field's annotation is Optional[...]."""
+    import typing
+
+    try:
+        hints = typing.get_type_hints(cls)
+    except Exception:  # noqa: BLE001 - unresolvable hints: treat as required
+        return False
+    t = hints.get(name)
+    return (t is not None and typing.get_origin(t) is typing.Union
+            and type(None) in typing.get_args(t))
+
+
 def apply_override(cfg: Any, dotted: str, raw: str) -> Any:
     """Returns a copy of ``cfg`` with ``a.b.c=value`` applied (typed by the
     dataclass field's current value)."""
     parts = dotted.split(".")
     if len(parts) == 1:
         current = getattr(cfg, parts[0])
-        return dataclasses.replace(cfg, **{parts[0]: _coerce(raw, current)})
+        optional = _is_optional_field(type(cfg), parts[0])
+        return dataclasses.replace(
+            cfg, **{parts[0]: _coerce(raw, current, optional, dotted)})
     sub = getattr(cfg, parts[0])
     new_sub = apply_override(sub, ".".join(parts[1:]), raw)
     return dataclasses.replace(cfg, **{parts[0]: new_sub})
 
 
-def _coerce(raw: str, current: Any) -> Any:
+def _coerce(raw: str, current: Any, optional: bool = False,
+            name: str = "?") -> Any:
     if isinstance(current, bool):
         return raw.lower() in ("1", "true", "yes", "on")
     if raw == "" and isinstance(current, (int, float)):
         # Null out an Optional numeric field (e.g. search.max_new_sims= for
         # the uncapped reference budget when the config default is an int).
-        return None
+        # Required numerics reject the empty string — a typo like
+        # `--set train.batch_size=` must fail here, not deep in the run.
+        if optional:
+            return None
+        raise ValueError(
+            f"empty value for required numeric field '{name}' "
+            f"(current: {current!r})")
     if isinstance(current, int):
         return int(raw)
     if isinstance(current, float):

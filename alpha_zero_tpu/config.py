@@ -131,6 +131,11 @@ class RunConfig:
     log_level: str = "INFO"
     seed: int = 1
     default_rating: float = 0.0
+    # Latest-vs-prev games per checkpoint. 1 = the reference-exact evaluator
+    # (one deterministic game, latest as black, pipeline.py:814-867) — whose
+    # Elo is komi/color noise at 1 sample. >1 = that many stochastic lockstep
+    # games with alternating colors (eval/match.py player), Elo per game.
+    eval_games: int = 16
 
 
 @dataclasses.dataclass(frozen=True)

@@ -47,6 +47,20 @@ def get_sgf_files(games_dir: str) -> List[str]:
     return sorted(results)
 
 
+def _corpus_fingerprint(games_dir: str, num_stack: int) -> str:
+    """Cheap identity of (corpus, num_stack) for npz-cache invalidation:
+    SGF file count + total bytes + num_stack. A stat pass over the 10k-game
+    CGOS corpus costs milliseconds vs the ~7 min rebuild it guards."""
+    files = get_sgf_files(games_dir)
+    total = 0
+    for f in files:
+        try:
+            total += os.path.getsize(f)
+        except OSError:
+            pass
+    return f"v1:files={len(files)}:bytes={total}:stack={num_stack}"
+
+
 def _player_str(player: Optional[str]) -> str:
     player = player or ""
     player = re.sub(r"\([^)]*\)", "", player)
@@ -326,19 +340,29 @@ def build_eval_dataset(games_dir: str, board_size: int, num_stack: int,
     supervisor that cost recurs per restart, so the first build persists the
     tensors and later starts load in seconds."""
     logger = logger or create_logger()
+    fingerprint = _corpus_fingerprint(games_dir, num_stack)
     if cache_path and os.path.exists(cache_path):
         z = np.load(cache_path)
-        ds = EvalDataset(
-            states=z["states"], target_pi=z["target_pi"], target_v=z["target_v"],
-            num_games=int(z["num_games"]),
-            mismatch_stats={k: int(v) for k, v in zip(z["mismatch_keys"],
-                                                      z["mismatch_vals"])},
-        )
+        # Invalidation: the cache is only valid for the exact corpus + stack
+        # depth it was built from. Caches written before the fingerprint
+        # existed (or for a changed SGF tree / different num_stack) rebuild.
+        cached_fp = str(z["fingerprint"]) if "fingerprint" in z else None
+        if cached_fp == fingerprint:
+            ds = EvalDataset(
+                states=z["states"], target_pi=z["target_pi"], target_v=z["target_v"],
+                num_games=int(z["num_games"]),
+                mismatch_stats={k: int(v) for k, v in zip(z["mismatch_keys"],
+                                                          z["mismatch_vals"])},
+            )
+            logger.info(
+                f"Loaded cached eval dataset {cache_path}: {len(ds)} positions "
+                f"from {ds.num_games} games"
+            )
+            return ds
         logger.info(
-            f"Loaded cached eval dataset {cache_path}: {len(ds)} positions "
-            f"from {ds.num_games} games"
+            f"Eval dataset cache {cache_path} is stale "
+            f"(fingerprint {cached_fp} != {fingerprint}); rebuilding"
         )
-        return ds
     builder = DatasetBuilder(board_size, num_stack, logger, **kwargs)
     states, target_pi, target_v = [], [], []
     valid_games = 0
@@ -415,6 +439,7 @@ def build_eval_dataset(games_dir: str, board_size: int, num_stack: int,
             target_v=dataset.target_v, num_games=dataset.num_games,
             mismatch_keys=np.array(list(dataset.mismatch_stats), dtype=str),
             mismatch_vals=np.array(list(dataset.mismatch_stats.values())),
+            fingerprint=np.array(fingerprint),
         )
         logger.info(f"Cached eval dataset to {cache_path}")
     return dataset

@@ -3,7 +3,12 @@
 Parity targets:
 - ``eval_against_prev_ckpt`` (pipeline.py:814-867): one deterministic game,
   black = latest checkpoint, white = previous, no root noise, Elo update for
-  both players, SGF record.
+  both players, SGF record. This remains the reference-exact mode
+  (``eval_games=1``); the default plays ``eval_games`` stochastic lockstep
+  games per checkpoint with alternating colors (half latest-as-black, half
+  latest-as-white) and updates Elo per game — one deterministic game per
+  checkpoint gives Elo dominated by komi/color noise (a single batch-1
+  sample), while N color-balanced games track actual strength.
 - ``eval_on_pro_games`` (pipeline.py:870-941): top-1/3/5 human-move accuracy,
   policy entropy, value MSE over the pro-game dataset — here a single jitted
   batched scan instead of a torch DataLoader loop.
@@ -157,12 +162,30 @@ def eval_on_pro_games(metrics_fn, variables, dataset: EvalDataset,
 
 class Evaluator:
     """Holds prev-checkpoint weights + Elo state across generations
-    (run_evaluator_loop, pipeline.py:678-811)."""
+    (run_evaluator_loop, pipeline.py:678-811).
+
+    ``eval_games=1`` is the reference-exact mode (one deterministic game,
+    latest always black). ``eval_games=N`` plays N stochastic lockstep games
+    per checkpoint — N//2 with the latest model as black and the rest as
+    white — through the batched match player (eval/match.py semantics:
+    visit-count sampling, no root noise), updating Elo once per finished
+    game. Deterministic games can't be batched for signal (N identical
+    replicas), and one game per checkpoint is komi/color noise."""
 
     def __init__(self, engine, net, search_cfg, default_rating: float = 0.0,
-                 dataset: Optional[EvalDataset] = None) -> None:
+                 dataset: Optional[EvalDataset] = None,
+                 eval_games: int = 1) -> None:
         self.engine = engine
+        self.eval_games = max(1, int(eval_games))
         self.move_fn = make_eval_move_fn(engine, net, search_cfg)
+        if self.eval_games > 1:
+            from alpha_zero_tpu.eval.match import make_match_move_fn
+
+            # Built once: jit caches per (variables-structure, batch) so the
+            # two color batches compile once each across all checkpoints.
+            self.batch_move_fn = make_match_move_fn(engine, net, search_cfg)
+        else:
+            self.batch_move_fn = None
         self.metrics_fn = make_pro_metrics_fn(net)
         self.black_elo = EloRating(rating=default_rating)
         self.white_elo = EloRating(rating=default_rating)
@@ -181,14 +204,19 @@ class Evaluator:
         if prev_variables is not None:
             self.prev_variables = prev_variables
 
-    def evaluate(self, variables) -> Dict:
-        """Evaluates ``variables`` (the latest ckpt) vs the previous one."""
+    def evaluate(self, variables, seed: int = 0) -> Dict:
+        """Evaluates ``variables`` (the latest ckpt) vs the previous one.
+        ``seed`` varies the stochastic batched games per checkpoint (pass
+        the training step); the ``eval_games=1`` path ignores it."""
         if self.prev_variables is None:
             self.prev_variables = variables
-        stats = eval_against_prev_ckpt(
-            self.engine, self.move_fn, variables, self.prev_variables,
-            self.black_elo, self.white_elo,
-        )
+        if self.eval_games > 1:
+            stats = self._evaluate_batched(variables, seed)
+        else:
+            stats = eval_against_prev_ckpt(
+                self.engine, self.move_fn, variables, self.prev_variables,
+                self.black_elo, self.white_elo,
+            )
         if self.dataset is not None and len(self.dataset) > 0:
             stats.update(eval_on_pro_games(self.metrics_fn, variables, self.dataset))
         # Promote: new model becomes the next baseline; assume equal strength
@@ -197,4 +225,86 @@ class Evaluator:
         import copy
 
         self.white_elo = copy.deepcopy(self.black_elo)
+        return stats
+
+    def _play_lockstep(self, black_variables, white_variables, n: int,
+                       seed: int) -> Tuple:
+        """N lockstep stochastic games, black's net on even plies. Returns
+        the terminal batch state + the move list of game 0 (for SGF)."""
+        states = self.engine.init_batch(n)
+        rng = jax.random.PRNGKey(seed)
+        moves0 = []
+        ply = 0
+        while not bool(jnp.all(states.done)):
+            variables = black_variables if ply % 2 == 0 else white_variables
+            done0 = bool(np.asarray(states.done)[0])
+            rng, sub = jax.random.split(rng)
+            states, move = self.batch_move_fn(variables, states, sub)
+            if not done0:
+                m0 = int(np.asarray(move)[0])
+                if m0 >= 0:
+                    moves0.append(PlayerMove("B" if ply % 2 == 0 else "W", m0))
+            ply += 1
+            if ply > self.engine.max_steps + 2:
+                break
+        return states, moves0
+
+    def _evaluate_batched(self, variables, seed: int) -> Dict:
+        """N color-balanced stochastic games; Elo updated per game with the
+        same winner-then-loser ordering as ``eval_against_prev_ckpt``.
+        ``black_elo`` tracks the LATEST model (the csv column keeps its
+        1-game-mode meaning of "the promoted side"), ``white_elo`` the
+        previous one."""
+        n_latest_black = (self.eval_games + 1) // 2
+        n_latest_white = self.eval_games - n_latest_black
+        batches = [(True, *self._play_lockstep(
+            variables, self.prev_variables, n_latest_black, seed))]
+        if n_latest_white:
+            states_w, _ = self._play_lockstep(
+                self.prev_variables, variables, n_latest_white, seed + 1)
+            batches.append((False, states_w, None))
+
+        latest_won = prev_won = draws = 0
+        lengths = []
+        moves0 = batches[0][2]
+        for latest_is_black, states, _ in batches:
+            winners = np.asarray(states.winner)
+            lengths.extend(int(x) for x in np.asarray(states.step_count))
+            for w in winners:
+                if int(w) == 0:
+                    draws += 1
+                    continue
+                if (int(w) == BLACK) == latest_is_black:
+                    latest_won += 1
+                    w_elo, l_elo = self.black_elo, self.white_elo
+                else:
+                    prev_won += 1
+                    w_elo, l_elo = self.white_elo, self.black_elo
+                w_elo.update_rating(l_elo.rating, 1)
+                l_elo.update_rating(w_elo.rating, 0)
+
+        result = f"latest {latest_won}-{prev_won}"
+        if draws:
+            result += f"-{draws}"
+        states0 = batches[0][1]
+        game0_result = result_string(
+            int(np.asarray(states0.winner)[0]),
+            float(np.asarray(states0.final_score)[0]),
+            bool(np.asarray(states0.resigned)[0]),
+        )
+        stats = {
+            "game_length": float(np.mean(lengths)),
+            "game_result": result,
+        }
+        if self.engine.has_pass_move:
+            stats["num_passes"] = sum(
+                1 for m in moves0 if m.move == self.engine.pass_move)
+        stats.update({
+            "black_elo_rating": self.black_elo.rating,
+            "white_elo_rating": self.white_elo.rating,
+            "eval_games": self.eval_games,
+            "latest_win_rate": latest_won / max(1, latest_won + prev_won),
+            "_moves": moves0,
+            "_sgf_result": game0_result,  # SGF needs game 0's B+/W+ string
+        })
         return stats

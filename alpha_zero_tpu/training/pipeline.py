@@ -639,6 +639,7 @@ class Trainer:
         self.evaluator = Evaluator(
             self.engine, self.net, cfg.search,
             default_rating=cfg.run.default_rating, dataset=dataset,
+            eval_games=cfg.run.eval_games,
         )
         # Resume continuity: a restarted run must continue the SAME Elo
         # curve (the reference threads this by hand via --default_rating,
@@ -691,7 +692,7 @@ class Trainer:
                 return None
             variables = self._mh.host_resident_value(variables)
         try:
-            stats = self.evaluator.evaluate(variables)
+            stats = self.evaluator.evaluate(variables, seed=self.training_steps)
         except Exception as e:  # noqa: BLE001
             # The reference evaluator is a separate process whose death never
             # takes down the learner (training_go.py:292-314); keep that
@@ -709,6 +710,7 @@ class Trainer:
             return None
         self._eval_failures = 0
         moves = stats.pop("_moves", [])
+        sgf_result = stats.pop("_sgf_result", stats.get("game_result", ""))
         row = {"datetime": get_time_stamp(), "training_steps": self.training_steps,
                **stats}
         self.eval_writer.write(row)
@@ -716,7 +718,7 @@ class Trainer:
             content = sgf_lib.make_sgf(
                 board_size=self.cfg.env.board_size,
                 move_history=moves,
-                result_string=stats["game_result"],
+                result_string=sgf_result,
                 ruleset="Chinese" if self.cfg.env.game == "go" else "",
                 komi=self.cfg.env.komi if self.cfg.env.game == "go" else "",
                 date=get_time_stamp(),

@@ -67,6 +67,32 @@ def test_eval_match_and_elo():
     assert len(stats["_moves"]) == stats["game_length"]
 
 
+def test_batched_evaluator():
+    """eval_games=N mode: N color-balanced stochastic games, Elo per game,
+    promotion semantics preserved."""
+    engine = GomokuEngine(board_size=5, num_stack=2, num_to_win=3)
+    net, vars_a = _net_and_vars(engine, seed=0)
+    _, vars_b = _net_and_vars(engine, seed=1)
+    search_cfg = config_lib.SearchConfig(num_simulations=8)
+    ev = evaluator_lib.Evaluator(engine, net, search_cfg, eval_games=4)
+    stats = ev.evaluate(vars_a, seed=3)  # first call: prev == latest
+    assert stats["eval_games"] == 4
+    won, lost = map(int, stats["game_result"].split()[1].split("-")[:2])
+    assert won + lost <= 4
+    assert 0.0 <= stats["latest_win_rate"] <= 1.0
+    assert stats["game_length"] > 0
+    assert len(stats["_moves"]) > 0
+    assert stats["_sgf_result"] in ("B+1.0", "W+1.0", "DRAW")
+    # Second checkpoint vs the promoted prev; Elo continues from last state.
+    rating_before = ev.black_elo.rating
+    stats2 = ev.evaluate(vars_b, seed=7)
+    w2, l2 = map(int, stats2["game_result"].split()[1].split("-")[:2])
+    if w2 != l2:
+        assert stats2["black_elo_rating"] != rating_before
+    # Promotion: both sides share the promoted rating for the next round.
+    assert ev.white_elo.rating == ev.black_elo.rating
+
+
 def test_pro_metrics():
     engine = GomokuEngine(board_size=5, num_stack=2)
     net, variables = _net_and_vars(engine)

@@ -30,7 +30,9 @@ EOF
   else
     echo "=== supervisor: attempt $i fresh start ==="
   fi
-  python -m alpha_zero_tpu.cli.train --config "$CONFIG" "${RESUME[@]}" "$@"
+  # ${RESUME[@]+...}: guard the empty-array expansion under `set -u` (bash
+  # < 4.4 aborts with 'unbound variable' on a plain "${RESUME[@]}").
+  python -m alpha_zero_tpu.cli.train --config "$CONFIG" ${RESUME[@]+"${RESUME[@]}"} "$@"
   rc=$?
   if [ $rc -eq 0 ]; then
     echo "=== supervisor: training finished cleanly ==="
