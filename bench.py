@@ -12,7 +12,17 @@ result. Uses the persistent compile cache in .jax_cache — run once after any
 search-code change to re-warm it.
 
 Env knobs: BENCH_CONFIG (go9|gomoku13|go19_jumbo), BENCH_BATCH, BENCH_SIMS,
-BENCH_STEPS, BENCH_WARMUP, BENCH_REUSE (0/1), BENCH_MAX_NEW_SIMS.
+BENCH_STEPS, BENCH_WARMUP, BENCH_REUSE (0/1), BENCH_MAX_NEW_SIMS,
+BENCH_DP (shard the game batch over the first N devices of a ('dp','mdl')
+mesh — the multi-chip scale-out path; batch is the GLOBAL batch).
+
+Sims/s is reported two ways (VERDICT r4 "honest sims/s"): ``nn_sims_per_s``
+counts NN-backed simulations actually executed per second (the sim-loop
+length: ``max_new_sims`` under subtree reuse, else ``num_simulations-1``);
+``budget_sims_per_s`` counts the full search budget per move, which under
+reuse includes visits carried from the previous move's subtree (99.3% of
+moves still reach the full budget — PERF.md visits histogram). The headline
+metric stays env-steps/s.
 """
 
 import dataclasses
@@ -29,6 +39,18 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+# BENCH_FORCE_CPU=n: run on n virtual CPU devices instead of the TPU —
+# correctness/partitioning smoke for BENCH_DP without chips (throughput
+# numbers are meaningless there). Works post-import like tests/conftest.py.
+_force_cpu = int(os.environ.get("BENCH_FORCE_CPU", "0"))
+if _force_cpu:
+    _xf = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in _xf:
+        os.environ["XLA_FLAGS"] = (
+            _xf + f" --xla_force_host_platform_device_count={_force_cpu}").strip()
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
 
 BASELINE_ENV_STEPS_PER_S = 418.0  # logs/go/9x9/run.log fleet throughput
 
@@ -77,15 +99,42 @@ def main() -> None:
     threshold = jnp.float32(-1.0)
     rng = jax.random.PRNGKey(2)
 
+    bench_dp = int(os.environ.get("BENCH_DP", "0"))
+    if bench_dp > 1:
+        # Multi-chip scale-out path: games sharded over 'dp', weights
+        # replicated — exactly the pipeline's single-host mesh placement
+        # (training/pipeline.py:252-279). On N real chips the same program
+        # runs N lanes-per-chip smaller; XLA keeps every collective on ICI.
+        from alpha_zero_tpu.parallel import mesh as mesh_lib
+
+        if batch % bench_dp != 0:
+            raise SystemExit(f"BENCH_BATCH={batch} not divisible by BENCH_DP={bench_dp}")
+        mesh = mesh_lib.make_mesh(n_devices=bench_dp)
+        data_sh = mesh_lib.batch_sharding(mesh)
+        rep = mesh_lib.replicated(mesh)
+        variables = jax.tree.map(lambda x: jax.device_put(x, rep), variables)
+        sp = jax.tree.map(lambda x: jax.device_put(x, data_sh), sp)
+        threshold = jax.device_put(threshold, rep)
+        print(f"# dp={bench_dp} mesh over {mesh.devices.ravel().tolist()}",
+              file=sys.stderr, flush=True)
+
+    # NN-backed sims per env-step = the sim-loop length (search/mcts.py:948);
+    # the full budget additionally counts visits carried via subtree reuse.
+    loop_len = (num_sims - 1) if (not reuse or max_new_sims is None) else max_new_sims
+
     metric = f"selfplay_env_steps_per_s_{config_name}_{num_sims}sims"
+    if bench_dp > 1:
+        metric += f"_dp{bench_dp}"
 
     def emit(env_steps_per_s: float, partial: bool) -> None:
         line = {
-            "metric": metric if config_name != "go9"
+            "metric": metric if (config_name != "go9" or bench_dp > 1)
             else "selfplay_env_steps_per_s_9x9go_200sims",
             "value": round(env_steps_per_s, 1),
             "unit": "env-steps/s",
             "vs_baseline": round(env_steps_per_s / BASELINE_ENV_STEPS_PER_S, 3),
+            "nn_sims_per_s": round(env_steps_per_s * loop_len),
+            "budget_sims_per_s": round(env_steps_per_s * num_sims),
         }
         if partial:
             line["partial"] = True
@@ -115,14 +164,17 @@ def main() -> None:
         # Partial result after every step: a timeout still leaves a number.
         emit(rate, partial=done_steps < timed_steps)
         print(f"# step {done_steps}/{timed_steps}: {rate:,.0f} env-steps/s "
-              f"({rate * num_sims:,.0f} sims/s)", file=sys.stderr, flush=True)
+              f"({rate * loop_len:,.0f} NN sims/s, {rate * num_sims:,.0f} "
+              f"budget sims/s)", file=sys.stderr, flush=True)
 
     elapsed = time.time() - t0
     env_steps_per_s = batch * done_steps / elapsed
     print(
         f"# config={config_name} batch={batch} sims={num_sims} reuse={reuse} "
-        f"max_new_sims={max_new_sims} timed={elapsed:.2f}s for {done_steps} steps; "
-        f"sims/s={env_steps_per_s * num_sims:,.0f}",
+        f"max_new_sims={max_new_sims} dp={bench_dp or 1} "
+        f"timed={elapsed:.2f}s for {done_steps} steps; "
+        f"nn_sims/s={env_steps_per_s * loop_len:,.0f} "
+        f"budget_sims/s={env_steps_per_s * num_sims:,.0f}",
         file=sys.stderr, flush=True,
     )
 

@@ -77,6 +77,66 @@ def test_sharded_train_step_matches_single_device():
 
 
 @requires_8
+def test_dp_sharded_selfplay_matches_single_device():
+    """The dp-sharded self-play step (bench.py BENCH_DP / pipeline mesh
+    placement) must produce the SAME per-lane games as the unsharded
+    program — sharding the game batch is a layout choice, not a semantic
+    one. This is the weak-scaling correctness half of the multi-chip
+    story; real chips only change wall-clock."""
+    from alpha_zero_tpu.training import selfplay as selfplay_lib
+    from alpha_zero_tpu.training.pipeline import build_engine
+    from alpha_zero_tpu.models.resnet import build_network
+
+    cfg = config_lib.AlphaZeroConfig(
+        env=config_lib.EnvConfig(game="go", board_size=5, num_stack=2),
+        network=config_lib.NetworkConfig(num_res_blocks=1, num_filters=8,
+                                         num_fc_units=8),
+        search=config_lib.SearchConfig(num_simulations=8, warm_up_steps=2,
+                                       reuse_subtree=True, max_new_sims=6),
+    )
+    engine = build_engine(cfg.env)
+    net = build_network(cfg.env, cfg.network)
+    obs = jnp.zeros((1, 5, 5, 5), jnp.int8)
+    variables = net.init(jax.random.PRNGKey(0), obs, train=False)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+    step_fn = selfplay_lib.make_selfplay_step(engine, net, cfg.search, cfg.resign)
+
+    def run(shard: bool):
+        sp = selfplay_lib.init_selfplay_state(
+            engine, 16, jax.random.PRNGKey(1), resign_threshold=-1.0,
+            disable_resign_ratio=0.0, reuse_num_simulations=8)
+        thr = jnp.float32(-1.0)
+        vars_ = variables
+        if shard:
+            mesh = mesh_lib.make_mesh()
+            data_sh = mesh_lib.batch_sharding(mesh)
+            rep = mesh_lib.replicated(mesh)
+            sp = jax.tree.map(lambda x: jax.device_put(x, data_sh), sp)
+            vars_ = jax.tree.map(lambda x: jax.device_put(x, rep), variables)
+            thr = jax.device_put(thr, rep)
+        rng = jax.random.PRNGKey(2)
+        outs = []
+        for _ in range(6):
+            rng, sub = jax.random.split(rng)
+            sp, out = step_fn(vars_, sp, sub, thr)
+            outs.append(out)
+        return sp, outs
+
+    sp1, outs1 = run(shard=False)
+    sp8, outs8 = run(shard=True)
+    # Per-lane game trajectories identical: moves, done flags, boards.
+    for o1, o8 in zip(outs1, outs8):
+        np.testing.assert_array_equal(np.asarray(o1.move), np.asarray(o8.move))
+    np.testing.assert_array_equal(np.asarray(sp1.games.board),
+                                  np.asarray(sp8.games.board))
+    np.testing.assert_array_equal(np.asarray(sp1.games.done),
+                                  np.asarray(sp8.games.done))
+    np.testing.assert_array_equal(np.asarray(sp1.games.step_count),
+                                  np.asarray(sp8.games.step_count))
+
+
+@requires_8
 def test_trainer_with_mesh_micro_run(tmp_path):
     """End-to-end micro training with dp=4, mdl=2 over virtual devices."""
     from alpha_zero_tpu.training import pipeline
