@@ -95,6 +95,28 @@ def _use_gather(piece: str) -> bool:
     return INDEXING == "gather" and piece in GATHER_PIECES
 
 
+# Select lowering:
+#   "pallas" — the VMEM-resident Pallas descent kernel
+#              (ops/tree_kernels.py): each lane-block's child_P is DMA'd
+#              on-chip ONCE per simulation; the XLA lowering re-sweeps it
+#              from HBM once per descent step.
+#   "xla"    — the one-hot/while_loop lowering (_select_leaf).
+#   "auto"   — pallas on TPU backends, xla elsewhere (CPU interpret-mode
+#              pallas is slow; tests opt in explicitly).
+# Read once at import time, like AZT_INDEXING above.
+SELECT_MODE = os.environ.get("AZT_SELECT", "auto")
+
+
+def _use_pallas_select() -> bool:
+    if INDEXING == "gather" and "select" in GATHER_PIECES:
+        return False  # explicit gather experiments keep the XLA path
+    if SELECT_MODE == "pallas":
+        return True
+    if SELECT_MODE == "xla":
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
 @struct.dataclass
 class NodeState:
     """Minimal per-node game state stored in the tree.
@@ -188,19 +210,27 @@ class Tree:
 
     node_N: jnp.ndarray          # f32[T] visits of the edge into each node
     node_W: jnp.ndarray          # f32[T] value sum (node-player perspective)
+    node_P: jnp.ndarray          # f32[T] prior of the edge INTO each node —
+    #                              a dense copy of child_P[parent, action]
+    #                              maintained at materialize / root noise /
+    #                              reroot. Select's PUCT over EXISTING
+    #                              children then runs on [T] vectors; the
+    #                              [T, A] child_P sweep remains only for the
+    #                              fresh-action row fetch (one per descent
+    #                              step instead of ~five [T, A]-sized ops).
     child_P: jnp.ndarray         # f32[T, A] child priors per node; -1.0 marks
     #                              ILLEGAL actions (select reads one row for
     #                              both prior and legality — the node's legal
     #                              mask never changes after creation)
     parent_index: jnp.ndarray    # f32[T]; -1 for root (float-native index)
     action_from_parent: jnp.ndarray  # f32[T]
-    # There is deliberately NO children_index [T, A] array: a node's child
-    # row is DERIVED from (parent_index, action_from_parent) by
-    # _children_row — each (parent, action) pair is written once, so the
-    # one-hot contraction over the two [T] vectors reconstructs the exact
-    # row. Storing it cost a [T, A] HBM fetch per descent step in select, a
-    # [T, A] blend in materialize, and a [T, A] permute in reroot — 2-4x the
-    # bytes of everything else those phases touch (round-4 profile split).
+    # There is deliberately NO children_index [T, A] array: select finds
+    # cur's children by comparing the two [T] parent/action vectors (each
+    # (parent, action) pair is written once, so the masked scatter by action
+    # is exact). Storing it cost a [T, A] HBM fetch per descent step in
+    # select, a [T, A] blend in materialize, and a [T, A] permute in reroot
+    # — 2-4x the bytes of everything else those phases touch (round-4
+    # profile split).
     node_expanded: jnp.ndarray   # bool[T]; has priors (terminal nodes never do)
     node_done: jnp.ndarray       # f32[T]; 1.0 when game over at this node
     node_reward: jnp.ndarray     # f32[T]; reward emitted by the creating step
@@ -256,40 +286,6 @@ def _fetch_elem(vec: jnp.ndarray, i: jnp.ndarray) -> jnp.ndarray:
     if _use_gather("select"):
         return jax.lax.dynamic_index_in_dim(vec, i, keepdims=False)
     return _elem(vec, i)
-
-
-def _fetch_elems(vec: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """vec[idx] for a vector of in-range indices (per-lane form)."""
-    if _use_gather("select"):
-        return jnp.take(vec, idx, axis=0)
-    iota = jnp.arange(vec.shape[0], dtype=jnp.int32)
-    oh = (idx[:, None] == iota[None, :]).astype(jnp.float32)
-    return oh @ vec
-
-
-def _children_row(parent_index: jnp.ndarray, action_from_parent: jnp.ndarray,
-                  cur: jnp.ndarray, num_actions: int) -> jnp.ndarray:
-    """f32[A] row of ``cur``'s child node ids (-1 where unmaterialized),
-    reconstructed from the two [T] parent/action vectors (per-lane form).
-
-    Each (parent, action) pair is materialized at most once, so the masked
-    one-hot contraction Σ_t [parent_t == cur][action_t == a] * t recovers the
-    unique child id exactly. HBM traffic is two [T] vectors (~1.6KB) instead
-    of a stored [T, A] row fetch (~66KB at go9 sizes) — the same result the
-    select loop used to read from the deleted ``children_index`` array.
-    """
-    capacity = parent_index.shape[0]
-    t_iota_f = jnp.arange(capacity, dtype=jnp.float32)
-    a_iota_f = jnp.arange(num_actions, dtype=jnp.float32)
-    mask = parent_index == cur.astype(jnp.float32)
-    oh = (mask[:, None] & (action_from_parent[:, None] == a_iota_f[None, :])
-          ).astype(jnp.float32)
-    # HIGHEST precision: node ids must stay EXACT through the dot; the TPU's
-    # default f32-dot path rounds operands to bf16 (integers > 256 — any
-    # tree with more than 256 nodes — would corrupt).
-    ids = jnp.dot(t_iota_f, oh, precision=jax.lax.Precision.HIGHEST)
-    cnt = jnp.ones((capacity,), jnp.float32) @ oh
-    return jnp.where(cnt > 0, ids, -1.0)
 
 
 def _matmul_state(states: GameState, m_f: jnp.ndarray, capacity: int,
@@ -436,6 +432,7 @@ def _make_empty_tree(root_state: GameState, root_history: jnp.ndarray,
     return Tree(
         node_N=jnp.zeros((capacity,), jnp.float32),
         node_W=jnp.zeros((capacity,), jnp.float32),
+        node_P=jnp.zeros((capacity,), jnp.float32),
         child_P=jnp.full((capacity, num_actions), -1.0, jnp.float32),
         parent_index=jnp.full((capacity,), -1.0, jnp.float32),
         action_from_parent=jnp.full((capacity,), -1.0, jnp.float32),
@@ -485,8 +482,19 @@ def _add_dirichlet_noise(tree: Tree, rng: jax.Array, eps: float, alpha: float) -
     legal = tree.root_legal > 0.5
     noise = noise * tree.root_legal
     new_p = jnp.maximum(tree.child_P[0], 0.0) * (1.0 - eps) + noise * eps
+    row0 = jnp.where(legal, new_p, -1.0)
+    # Keep the dense edge-prior copy consistent: a reused root's EXISTING
+    # children must see the freshly noised priors, exactly as the row fetch
+    # used to (select reads node_P for materialized children).
+    a_iota_f = jnp.arange(num_actions, dtype=jnp.float32)
+    oh = (tree.action_from_parent[:, None] == a_iota_f[None, :]).astype(jnp.float32)
+    # HIGHEST: the prior must match a direct row read bit-for-bit (the TPU's
+    # default f32-dot path rounds operands to bf16).
+    p_of_action = jnp.dot(oh, row0, precision=jax.lax.Precision.HIGHEST)  # [T]
+    node_P = jnp.where(tree.parent_index == 0.0, p_of_action, tree.node_P)
     return tree.replace(
-        child_P=tree.child_P.at[0].set(jnp.where(legal, new_p, -1.0))
+        child_P=tree.child_P.at[0].set(row0),
+        node_P=node_P,
     )
 
 
@@ -499,48 +507,65 @@ def _select_leaf(tree: Tree, path_cap: int, c_puct_base: float,
                  c_puct_init: float):
     """Descends by PUCT until an unmaterialized edge or a terminal node.
 
-    Per descent step, TWO one-hot row fetches over [T, A] arrays (the masked
-    prior ``child_P`` with its -1 illegal sentinel doubles as the legality
-    mask, saving a third full-array read) plus small [T]-vector lookups for
-    child stats.
+    PUCT for EXISTING children runs entirely on dense [T] vectors: each
+    node's incoming-edge prior is stored in ``node_P``, so its score
+    -Q + U is plain vector arithmetic over (node_N, node_W, node_P). The
+    per-action view needed for the argmax is assembled by ONE [T, A]
+    masked scatter (each (parent, action) pair is unique, so a masked max
+    is exact); unmaterialized actions score from the parent's child_P row
+    (the single [T, A]-array fetch left per descent step — it doubles as
+    the legality mask via the -1 illegal sentinel). Numerically identical
+    to PUCT over gathered child stats (mcts_v2.py:99-109, 142-186): same
+    expression tree per action, same argmax tie-breaking.
 
     The visited path is recorded as two dense [T] one-hot accumulators split
     by depth parity (``even``/``odd``) — no per-lane indexed writes, and the
     sign-alternating backup becomes pure vector arithmetic.
 
     Returns (parent_node, action, existing_child_or_-1, hit_terminal,
-    even_mask, odd_mask, depth) where depth = number of recorded nodes (the
-    leaf's depth).
+    even_mask, odd_mask, depth, edge_prior) where depth = number of recorded
+    nodes (the leaf's depth) and edge_prior = the chosen edge's prior
+    (materialize stores it as the new node's ``node_P``).
     """
     capacity = tree.node_N.shape[0]
+    num_actions = tree.child_P.shape[-1]
     t_iota = jnp.arange(capacity, dtype=jnp.int32)
+    t_iota_f = jnp.arange(capacity, dtype=jnp.float32)
+    a_iota_f = jnp.arange(num_actions, dtype=jnp.float32)
 
     def cond(carry):
-        _, _, _, _, stop, depth, _, _ = carry
+        _, _, _, _, _, stop, depth, _, _ = carry
         return ~stop & (depth < path_cap)
 
     def body(carry):
-        cur, n_cur, _, _, _, depth, even, odd = carry
-        # PUCT over cur's children (mcts_v2.py:99-109, 142-186). The stored
-        # prior is -1 on illegal actions (see _mask_prior), so one row fetch
-        # yields both the prior and the legality mask.
-        ci_row = _children_row(tree.parent_index, tree.action_from_parent,
-                               cur, tree.child_P.shape[-1])  # f32 ids, -1 = none
+        cur, n_cur, _, _, _, _, depth, even, odd = carry
+        cur_f = cur.astype(jnp.float32)
+        pmask = tree.parent_index == cur_f  # [T] cur's children
+        pb_c = jnp.log((1.0 + n_cur + c_puct_base) / c_puct_base) + c_puct_init
+        # Existing children: every materialized node has N >= 1 (backup runs
+        # in the same simulation that materializes it), so -Q + U over the
+        # dense vectors reproduces the gathered-stats math exactly.
+        u_t = pb_c * jnp.maximum(tree.node_P, 0.0) * (
+            jnp.sqrt(n_cur) / (1.0 + tree.node_N))
+        q_t = tree.node_W / jnp.maximum(tree.node_N, 1.0)
+        score_t = -q_t + u_t  # [T]
+        # One [T, A] pass: scatter child scores/ids to their action slots.
+        link = pmask[:, None] & (
+            tree.action_from_parent[:, None] == a_iota_f[None, :])  # [T, A]
+        score_A = jnp.max(jnp.where(link, score_t[:, None], -jnp.inf), axis=0)
+        child_A = jnp.max(jnp.where(link, t_iota_f[:, None], -1.0), axis=0)
+        has_child = child_A >= 0.0
         p_row = _fetch_row(tree.child_P, cur)
         legal_row = p_row >= 0.0
-        ci_i = jnp.clip(ci_row, 0.0, capacity - 1).astype(jnp.int32)
-        has_child = ci_row >= 0
-        c_n = jnp.where(has_child, _fetch_elems(tree.node_N, ci_i), 0.0)
-        c_w = jnp.where(has_child, _fetch_elems(tree.node_W, ci_i), 0.0)
-
-        pb_c = jnp.log((1.0 + n_cur + c_puct_base) / c_puct_base) + c_puct_init
-        u = pb_c * jnp.maximum(p_row, 0.0) * (jnp.sqrt(n_cur) / (1.0 + c_n))
-        q = c_w / jnp.maximum(c_n, 1.0)
-        scores = jnp.where(legal_row, -q + u, -9999.0)
+        # Fresh actions: c_n = 0, q = 0 -> score = -0 + pb_c*p*sqrt(n)/1.
+        fresh = -0.0 + pb_c * jnp.maximum(p_row, 0.0) * (jnp.sqrt(n_cur) / 1.0)
+        scores = jnp.where(legal_row,
+                           jnp.where(has_child, score_A, fresh), -9999.0)
         action = jnp.argmax(scores).astype(jnp.int32)
 
-        child = (jnp.take(ci_row, action) if _use_gather("select")
-                 else _elem_exact(ci_row, action)).astype(jnp.int32)
+        a_oh = (jnp.arange(num_actions, dtype=jnp.int32) == action)
+        child = jnp.max(jnp.where(a_oh, child_A, -1.0)).astype(jnp.int32)
+        p_sel = jnp.max(jnp.where(a_oh, p_row, -jnp.inf))
         child_c = jnp.clip(child, 0, capacity - 1)
         is_new = child < 0
         is_term = ~is_new & (_fetch_elem(tree.node_done, child_c) > 0.5)
@@ -553,14 +578,15 @@ def _select_leaf(tree: Tree, path_cap: int, c_puct_base: float,
         nxt = jnp.where(stop, cur, child_c)
         child_n = _fetch_elem(tree.node_N, child_c)
         nxt_n = jnp.where(stop, n_cur, child_n)
-        return (nxt, nxt_n, action, child, stop, depth + 1, even, odd)
+        return (nxt, nxt_n, action, child, p_sel, stop, depth + 1, even, odd)
 
     zeros_t = jnp.zeros((capacity,), jnp.float32)
     init = (jnp.int32(0), tree.node_N[0], jnp.int32(-1), jnp.int32(-1),
-            jnp.bool_(False), jnp.int32(0), zeros_t, zeros_t)
-    cur, _, action, child, _, depth, even, odd = jax.lax.while_loop(cond, body, init)
+            jnp.float32(0.0), jnp.bool_(False), jnp.int32(0), zeros_t, zeros_t)
+    cur, _, action, child, p_sel, _, depth, even, odd = jax.lax.while_loop(
+        cond, body, init)
     hit_terminal = child >= 0
-    return cur, action, child, hit_terminal, even, odd, depth
+    return cur, action, child, hit_terminal, even, odd, depth, p_sel
 
 
 # ---------------------------------------------------------------------------
@@ -599,7 +625,7 @@ def _materialize(tree: Tree, slot: jnp.ndarray, parent: jnp.ndarray,
                  action: jnp.ndarray, existing_child: jnp.ndarray,
                  hit_terminal: jnp.ndarray, active: jnp.ndarray,
                  new_node: NodeState, new_done: jnp.ndarray,
-                 new_reward: jnp.ndarray):
+                 new_reward: jnp.ndarray, edge_prior: jnp.ndarray):
     """Writes the freshly stepped leaf into this lane's next free ``slot`` as
     dense one-hot blends (no scatters); allocates nothing when selection hit
     an existing terminal node or the lane's budget is spent.
@@ -629,6 +655,7 @@ def _materialize(tree: Tree, slot: jnp.ndarray, parent: jnp.ndarray,
         node_reward=jnp.where(oh_b, new_reward, tree.node_reward),
         node_N=jnp.where(oh_b, 0.0, tree.node_N),
         node_W=jnp.where(oh_b, 0.0, tree.node_W),
+        node_P=jnp.where(oh_b, edge_prior, tree.node_P),
         num_nodes=tree.num_nodes + is_new.astype(jnp.float32),
     )
     leaf = jnp.where(is_new, slot_i, jnp.clip(existing_child, 0, capacity - 1))
@@ -640,7 +667,7 @@ def _materialize_scatter(tree: Tree, slot: jnp.ndarray, parent: jnp.ndarray,
                          action: jnp.ndarray, existing_child: jnp.ndarray,
                          hit_terminal: jnp.ndarray, active: jnp.ndarray,
                          new_node: NodeState, new_done: jnp.ndarray,
-                         new_reward: jnp.ndarray):
+                         new_reward: jnp.ndarray, edge_prior: jnp.ndarray):
     """Batch-level scatter variant of :func:`_materialize`: the new leaf's row
     is written with native per-lane scatters (unique indices, out-of-range
     dropped) — HBM traffic is one row per lane instead of a full-tree blend.
@@ -667,6 +694,7 @@ def _materialize_scatter(tree: Tree, slot: jnp.ndarray, parent: jnp.ndarray,
         node_reward=put_rows(tree.node_reward, new_reward),
         node_N=put_rows(tree.node_N, jnp.zeros((batch,), jnp.float32)),
         node_W=put_rows(tree.node_W, jnp.zeros((batch,), jnp.float32)),
+        node_P=put_rows(tree.node_P, edge_prior),
         num_nodes=tree.num_nodes + is_new.astype(jnp.float32),
     )
     leaf = jnp.where(is_new, slot_i, jnp.clip(existing_child, 0, capacity - 1))
@@ -817,6 +845,7 @@ def _reroot_one(tree: Tree, move: jnp.ndarray, done: jnp.ndarray,
     rerooted = Tree(
         node_N=hp(perm, tree.node_N),
         node_W=hp(perm, tree.node_W),
+        node_P=hp(perm, tree.node_P),
         child_P=hp(perm, tree.child_P),
         parent_index=jnp.where(in_use, hp(perm, remap(tree.parent_index)), -1.0),
         action_from_parent=jnp.where(in_use, hp(perm, tree.action_from_parent), -1.0)
@@ -912,10 +941,21 @@ def batched_search(
             functools.partial(_add_dirichlet_noise, eps=dirichlet_eps, alpha=dirichlet_alpha)
         )(trees, noise_rngs)
 
-    select = jax.vmap(
-        functools.partial(_select_leaf, path_cap=path_cap,
-                          c_puct_base=c_puct_base, c_puct_init=c_puct_init)
-    )
+    if _use_pallas_select():
+        from alpha_zero_tpu.ops import tree_kernels
+
+        def select(trees):
+            return tree_kernels.select_leaf_batched(
+                trees.node_N, trees.node_W, trees.node_P, trees.parent_index,
+                trees.action_from_parent, trees.node_done, trees.child_P,
+                path_cap=path_cap, c_puct_base=c_puct_base,
+                c_puct_init=c_puct_init,
+                interpret=jax.default_backend() == "cpu")
+    else:
+        select = jax.vmap(
+            functools.partial(_select_leaf, path_cap=path_cap,
+                              c_puct_base=c_puct_base, c_puct_init=c_puct_init)
+        )
     gather_state = (_gather_state_rows if _use_gather("state")
                     else jax.vmap(functools.partial(_gather_state, capacity=capacity)))
     materialize = (_materialize_scatter if _use_gather("materialize")
@@ -928,13 +968,14 @@ def batched_search(
     def sim_body(i, trees):
         active = trees.node_N[:, 0] < float(num_simulations)
         slot = trees.num_nodes.astype(jnp.int32)
-        parent, action, child, hit_term, even, odd, depth = select(trees)
+        parent, action, child, hit_term, even, odd, depth, p_sel = select(trees)
         parent_nodes = gather_state(trees.states, parent)
         parent_states = _game_state_of(parent_nodes, num_actions)
         new_states = tree_engine.step_batch(parent_states, action)
         trees, leaf, needs_eval = materialize(
             trees, slot, parent, action, child, hit_term, active,
             _node_state_of(new_states), new_states.done, new_states.last_reward,
+            p_sel,
         )
         history = _leaf_history_batch(trees, parent, depth, new_states.board,
                                       num_stack)

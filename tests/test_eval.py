@@ -174,8 +174,7 @@ KM[0.5]RE[W+0.5]SZ[5]
         str(tmp_path), board_size=5, num_stack=2, cache_path=cache
     )
     assert os.path.exists(cache)
-    # Remove the SGF: a cache hit must not re-read the corpus.
-    (tmp_path / "game1.sgf").unlink()
+    # Unchanged corpus: loads from cache (identical tensors, no reparse).
     ds2 = dataset_lib.build_eval_dataset(
         str(tmp_path), board_size=5, num_stack=2, cache_path=cache
     )
@@ -184,6 +183,18 @@ KM[0.5]RE[W+0.5]SZ[5]
     np.testing.assert_array_equal(ds2.target_pi, ds.target_pi)
     np.testing.assert_array_equal(ds2.target_v, ds.target_v)
     assert ds2.mismatch_stats == ds.mismatch_stats
+    # Changed corpus (file added) or different num_stack: stale cache is
+    # detected via the stored fingerprint and the dataset rebuilds.
+    (tmp_path / "game2.sgf").write_text(
+        sgf_content.replace("StrongA", "OtherA").replace("StrongB", "OtherB"))
+    ds3 = dataset_lib.build_eval_dataset(
+        str(tmp_path), board_size=5, num_stack=2, cache_path=cache
+    )
+    assert ds3.num_games == 2 and len(ds3) == 2 * len(ds)
+    ds4 = dataset_lib.build_eval_dataset(
+        str(tmp_path), board_size=5, num_stack=3, cache_path=cache
+    )
+    assert ds4.states.shape[-1] == 2 * 3 + 1
 
 
 def test_dataset_builder_filters(tmp_path):
