@@ -400,88 +400,118 @@ class Trainer:
         # per finished game, pipeline.py:485-497.)
         fence_k = max(1, cfg.parallel.fence_interval)
         pending = [0, 0, 0]  # finished, resign-marked, could-have-won
+        # PIPELINED HARVEST: dispatch step k+1 to the device, THEN harvest
+        # step k's output while k+1 computes. The harvest is a dozen
+        # device->host reads (~2 MB at go9 sizes) plus the Python accounting
+        # in _harvest_step — synchronous with the device it cost ~40% of
+        # selfplay wall-clock on the tunneled TPU; overlapped it is ~free.
+        # The price is one step of staleness in the resign threshold and the
+        # game-count exit check — the reference's async actor fleet runs with
+        # far more staleness on both (actors are whole games ahead of the
+        # controller, pipeline.py:485-497).
+        prev_out = None
+        thr_val = self.resign_controller.threshold
         while new_games < target_new_games:
             with self.timer:
                 self.sp_state, out = self.selfplay_step(
                     self.variables, self.sp_state, self._next_rng(), threshold
                 )
-                if self.multihost:
-                    # Harvest this host's rows of the global batch.
-                    out = selfplay_lib.StepOutput(*self._mh.global_to_local(out))
-                finished = self.accumulator.add_step(out)
+                if prev_out is not None:
+                    new_games += self._harvest_step(prev_out, pending)
+                prev_out = out
             steps += 1
-            if cfg.train.drop_straddling_games:
-                kept = []
-                for game in finished:
-                    if game.stats.pop("stale"):
-                        continue  # reference fence: discard, don't count
-                    kept.append(game)
-                finished = kept
-            else:
-                for game in finished:
-                    game.stats.pop("stale", None)
-            for game in finished:
-                self.played_games += 1
-                self.last_ckpt_games += 1
-                self.last_ckpt_samples += game.stats["game_length"]
-                self.replay.add_game(game.states, game.pi_probs, game.values)
-                if self.multihost:
-                    pending[0] += 1
-                    pending[1] += int(game.stats["is_marked_for_resign"])
-                    pending[2] += int(game.stats["is_could_won"])
-                else:
-                    new_games += 1
-                    self.resign_controller.on_game(
-                        game.stats, self.replay.num_games_added
-                    )
-
-                row = {
-                    "datetime": get_time_stamp(),
-                    "game_length": game.stats["game_length"],
-                    "game_result": game.stats["game_result"],
-                }
-                if self.engine.has_pass_move:
-                    row["num_passes"] = game.stats["num_passes"]
-                if self.engine.has_resign_move:
-                    row["is_resign_disabled"] = game.stats["is_resign_disabled"]
-                    row["is_marked_for_resign"] = game.stats["is_marked_for_resign"]
-                    row["is_could_won"] = game.stats["is_could_won"]
-                    row["marked_resign_player"] = game.stats["marked_resign_player"]
-                    row["resign_threshold"] = self.resign_controller.threshold
-                row["time_per_game"] = round(self.timer.mean_time(), 4)
-                row["training_steps"] = self.training_steps
-                self.actor_writer.write(row)
-
-                if (
-                    cfg.run.save_sgf_dir
-                    and cfg.run.save_sgf_interval > 0
-                    and self.played_games % cfg.run.save_sgf_interval == 0
-                ):
-                    self._save_sgf(game)
-
-                if self.replay.num_games_added % 10000 == 0:
-                    self.logger.info(
-                        f"Collected {self.replay.num_games_added} self-play games, "
-                        f"{self.replay.num_samples_added} samples."
-                    )
-                if (
-                    cfg.train.save_replay_interval > 0
-                    and self.replay.num_games_added % cfg.train.save_replay_interval == 0
-                ):
-                    self.replay.save(self._replay_path)
-
             if self.multihost and steps % fence_k == 0:
                 new_games += self._fence(pending)
                 pending = [0, 0, 0]
-            # Threshold may have moved mid-collection.
-            threshold = jnp.float32(self.resign_controller.threshold)
+            # Threshold may have moved mid-collection; re-upload the scalar
+            # only when it changed (a handful of times per generation) so
+            # tiny per-step transfers stay off the wire.
+            if self.resign_controller.threshold != thr_val:
+                thr_val = self.resign_controller.threshold
+                threshold = jnp.float32(thr_val)
             if max_steps is not None and steps >= max_steps:
                 break
+        if prev_out is not None:
+            # Drain the in-flight step: its output must still enter the
+            # accumulator (per-lane histories grow one move per step).
+            new_games += self._harvest_step(prev_out, pending)
         # Flush counters the final (partial) fence window left behind. The
         # condition depends only on the lockstep ``steps``, so every process
         # joins this collective together.
         if self.multihost and steps % fence_k != 0:
             new_games += self._fence(pending)
+        return new_games
+
+    def _harvest_step(self, out, pending) -> int:
+        """Host-side processing of one self-play step's output: accumulate
+        per-lane histories, fold finished games into replay / resign
+        controller / CSV / SGF. Returns the local new-game count
+        (single-host); multi-host counts advance at fences instead."""
+        cfg = self.cfg
+        new_games = 0
+        if self.multihost:
+            # Harvest this host's rows of the global batch.
+            out = selfplay_lib.StepOutput(*self._mh.global_to_local(out))
+        finished = self.accumulator.add_step(out)
+        if cfg.train.drop_straddling_games:
+            kept = []
+            for game in finished:
+                if game.stats.pop("stale"):
+                    continue  # reference fence: discard, don't count
+                kept.append(game)
+            finished = kept
+        else:
+            for game in finished:
+                game.stats.pop("stale", None)
+        for game in finished:
+            self.played_games += 1
+            self.last_ckpt_games += 1
+            self.last_ckpt_samples += game.stats["game_length"]
+            self.replay.add_game(game.states, game.pi_probs, game.values)
+            if self.multihost:
+                pending[0] += 1
+                pending[1] += int(game.stats["is_marked_for_resign"])
+                pending[2] += int(game.stats["is_could_won"])
+            else:
+                new_games += 1
+                self.resign_controller.on_game(
+                    game.stats, self.replay.num_games_added
+                )
+
+            row = {
+                "datetime": get_time_stamp(),
+                "game_length": game.stats["game_length"],
+                "game_result": game.stats["game_result"],
+            }
+            if self.engine.has_pass_move:
+                row["num_passes"] = game.stats["num_passes"]
+            if self.engine.has_resign_move:
+                row["is_resign_disabled"] = game.stats["is_resign_disabled"]
+                row["is_marked_for_resign"] = game.stats["is_marked_for_resign"]
+                row["is_could_won"] = game.stats["is_could_won"]
+                row["marked_resign_player"] = game.stats["marked_resign_player"]
+                row["resign_threshold"] = self.resign_controller.threshold
+            row["time_per_game"] = round(self.timer.mean_time(), 4)
+            row["training_steps"] = self.training_steps
+            self.actor_writer.write(row)
+
+            if (
+                cfg.run.save_sgf_dir
+                and cfg.run.save_sgf_interval > 0
+                and self.played_games % cfg.run.save_sgf_interval == 0
+            ):
+                self._save_sgf(game)
+
+            if self.replay.num_games_added % 10000 == 0:
+                self.logger.info(
+                    f"Collected {self.replay.num_games_added} self-play games, "
+                    f"{self.replay.num_samples_added} samples."
+                )
+            if (
+                cfg.train.save_replay_interval > 0
+                and self.replay.num_games_added % cfg.train.save_replay_interval == 0
+            ):
+                self.replay.save(self._replay_path)
         return new_games
 
     def _fence(self, pending) -> int:
