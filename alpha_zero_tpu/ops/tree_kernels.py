@@ -58,96 +58,157 @@ def _select_kernel(nN_ref, nW_ref, nP_ref, par_ref, act_ref, done_ref,
     nd = done_ref[...]
     childP = childP_ref[...]
 
-    t_iota_i = jax.lax.broadcasted_iota(jnp.int32, (blk, T), 1)
-    t_iota_f3 = jax.lax.broadcasted_iota(jnp.float32, (blk, T, A), 1)
-    a_iota_f3 = jax.lax.broadcasted_iota(jnp.float32, (blk, T, A), 2)
-    a_iota_i2 = jax.lax.broadcasted_iota(jnp.int32, (blk, A), 1)
+    # Mosaic layout rules shape this kernel: iota must be integer, minor-dim
+    # inserts/broadcasts are only supported on 32-bit types, and 1-D
+    # lane-vectors don't relayout to (blk, 1, ...) — so every per-lane
+    # scalar stays a [blk, 1] f32/i32 column and every mask is built by
+    # comparing 32-bit operands at the target rank.
+    t_iota_f2 = jax.lax.broadcasted_iota(
+        jnp.int32, (blk, T), 1).astype(jnp.float32)
+    t_iota_f3 = jax.lax.broadcasted_iota(
+        jnp.int32, (blk, T, A), 1).astype(jnp.float32)
+    a_iota_f3 = jax.lax.broadcasted_iota(
+        jnp.int32, (blk, T, A), 2).astype(jnp.float32)
+    a_iota_f2A = jax.lax.broadcasted_iota(
+        jnp.int32, (blk, A), 1).astype(jnp.float32)
 
-    # Q and U terms over the dense [blk, T] vectors are loop-invariant except
-    # for the sqrt(n_cur)/pb_c factors; precompute the invariant pieces.
-    q_t = nW / jnp.maximum(nN, 1.0)
-    u_base = jnp.maximum(nP, 0.0) / (1.0 + nN)  # * pb_c * sqrt(n_cur) later
+    q_t = nW / jnp.maximum(nN, 1.0)  # loop-invariant
 
-    def cond(carry):
-        curs, n_cur, action, child, p_sel, stop, depth, even, odd = carry
-        return jnp.any(~stop & (depth < path_cap))
+    # Every per-lane carry scalar lives as a ROW-UNIFORM f32 [blk, T] array
+    # (all T entries equal) so the while-loop carry keeps one standard
+    # Mosaic layout — [blk, 1] columns and i32/bool selects trip relayout
+    # and replication limits in layout inference. [blk, 1] reduction results
+    # are spread back to rows by multiplying with a ones row (exact).
+    # Built from iota (not constants): constant splats get a fully
+    # replicated layout that the while-carry can't be relaid out to.
+    zeros_bt = jnp.minimum(t_iota_f2, 0.0)
+    ones_bt = zeros_bt + 1.0
+    ones_ba = jnp.minimum(a_iota_f2A, 0.0) + 1.0
 
-    def body(carry):
-        curs, n_cur, action, child, p_sel, stop, depth, even, odd = carry
-        act_lane = ~stop & (depth < path_cap)
-        cur_f = curs.astype(jnp.float32)
-        pmask = par == cur_f[:, None]  # [blk, T]
+    # The descent state lives in VMEM SCRATCH REFS and the while-loop carry
+    # is a single scalar continue-flag: vector-valued loop carries trip
+    # Mosaic's layout-inference (replicated vs offset layout joins), while
+    # ref reads/writes always use the canonical layout.
+    def _loop(curs_s, ncur_s, action_s, child_s, psel_s, stop_s, depth_s):
+
+        def cond(go):
+            return go > 0.5
+
+        def body(go):
+            curs = curs_s[...]
+            n_cur = ncur_s[...]
+            action = action_s[...]
+            child = child_s[...]
+            p_sel = psel_s[...]
+            stop = stop_s[...]
+            depth = depth_s[...]
+            even = even_ref[...]
+            odd = odd_ref[...]
+            out = _body_math(curs, n_cur, action, child, p_sel, stop, depth,
+                             even, odd)
+            (curs_s[...], ncur_s[...], action_s[...], child_s[...],
+             psel_s[...], stop_s[...], depth_s[...], even_ref[...],
+             odd_ref[...]) = out
+            cont = jnp.where(
+                (out[5] < 0.5) & (out[6] < float(path_cap)), 1.0, 0.0)
+            return jnp.max(cont)
+
+        jax.lax.while_loop(cond, body, jnp.float32(1.0))
+
+    def _body_math(curs, n_cur, action, child, p_sel, stop, depth, even, odd):
+        act_f = jnp.where(stop < 0.5, 1.0, 0.0) * jnp.where(
+            depth < float(path_cap), 1.0, 0.0)           # [blk, T] uniform
         pb_c = jnp.log((1.0 + n_cur + c_puct_base) / c_puct_base) + c_puct_init
         sqn = jnp.sqrt(n_cur)
         # Same expression tree as _select_leaf: pb_c * max(P,0) * (sqrt/(1+N)).
-        u_t = pb_c[:, None] * jnp.maximum(nP, 0.0) * (
-            sqn[:, None] / (1.0 + nN))
-        score_t = -q_t + u_t  # [blk, T]
-        link = pmask[:, :, None] & (actv[:, :, None] == a_iota_f3)
+        u_t = pb_c * jnp.maximum(nP, 0.0) * (sqn / (1.0 + nN))
+        score_t = -q_t + u_t                              # [blk, T]
+        pmask_f = jnp.where(par == curs, 1.0, 0.0)        # [blk, T]
+        link = (pmask_f[:, :, None] > 0.5) & (actv[:, :, None] == a_iota_f3)
         score_A = jnp.max(
             jnp.where(link, score_t[:, :, None], -jnp.inf), axis=1)
         child_A = jnp.max(jnp.where(link, t_iota_f3, -1.0), axis=1)
         has_child = child_A >= 0.0
-        # Parent's prior row: per-lane dynamic row read from the VMEM block.
-        cur_oh3 = (t_iota_i == curs[:, None])[:, :, None]
-        p_row = jnp.max(jnp.where(cur_oh3, childP, -jnp.inf), axis=1)
+        # Parent's prior row via a masked max over the VMEM-resident block.
+        cur_ohf = jnp.where(t_iota_f2 == curs, 1.0, 0.0)  # [blk, T]
+        p_row = jnp.max(
+            jnp.where(cur_ohf[:, :, None] > 0.5, childP, -jnp.inf), axis=1)
         legal_row = p_row >= 0.0
-        fresh = -0.0 + pb_c[:, None] * jnp.maximum(p_row, 0.0) * (
-            sqn[:, None] / 1.0)
+        # Lane scalars at [blk, A] rank, spread from keepdims reductions.
+        pb_cA = jnp.max(pb_c, axis=1, keepdims=True) * ones_ba
+        sqnA = jnp.max(sqn, axis=1, keepdims=True) * ones_ba
+        fresh = -0.0 + pb_cA * jnp.maximum(p_row, 0.0) * (sqnA / 1.0)
         scores = jnp.where(legal_row,
                            jnp.where(has_child, score_A, fresh), -9999.0)
-        action_new = jnp.argmax(scores, axis=-1).astype(jnp.int32)
-        a_oh = a_iota_i2 == action_new[:, None]
-        child_new = jnp.max(jnp.where(a_oh, child_A, -1.0), axis=1)
-        p_sel_new = jnp.max(jnp.where(a_oh, p_row, -jnp.inf), axis=1)
-        child_c = jnp.clip(child_new, 0.0, T - 1).astype(jnp.int32)
-        ch_oh = t_iota_i == child_c[:, None]
-        done_val = jnp.max(jnp.where(ch_oh, nd, 0.0), axis=1)
-        child_n = jnp.max(jnp.where(ch_oh, nN, 0.0), axis=1)
-        is_new = child_new < 0.0
-        is_term = ~is_new & (done_val > 0.5)
-        stop_new = is_new | is_term
-        cur_oh = (t_iota_i == curs[:, None]).astype(jnp.float32)
-        is_even = (depth % 2) == 0
-        even = even + (act_lane & is_even).astype(jnp.float32)[:, None] * cur_oh
-        odd = odd + (act_lane & ~is_even).astype(jnp.float32)[:, None] * cur_oh
-        nxt = jnp.where(stop_new, curs, child_c)
-        nxt_n = jnp.where(stop_new, n_cur, child_n)
+        # argmax as min-index-of-max in pure f32 (integer argmax + sitofp
+        # doesn't legalize in Mosaic); first-max-wins like jnp.argmax.
+        max_score = jnp.max(scores, axis=1, keepdims=True) * ones_ba
+        action_new = jnp.min(
+            jnp.where(scores == max_score, a_iota_f2A, float(A)), axis=1,
+            keepdims=True)                                # [blk, 1]
+        a_oh = a_iota_f2A == action_new * ones_ba
+        child_col = jnp.max(jnp.where(a_oh, child_A, -1.0), axis=1,
+                            keepdims=True)
+        child_new = child_col * ones_bt                   # [blk, T] uniform
+        p_sel_new = jnp.max(jnp.where(a_oh, p_row, -9999.0), axis=1,
+                            keepdims=True) * ones_bt
+        child_c = jnp.clip(child_new, 0.0, T - 1.0)       # [blk, T] uniform
+        ch_ohf = jnp.where(t_iota_f2 == child_c, 1.0, 0.0)
+        done_val = jnp.max(ch_ohf * nd, axis=1, keepdims=True) * ones_bt
+        child_n = jnp.max(ch_ohf * nN, axis=1, keepdims=True) * ones_bt
+        new_f = jnp.where(child_new < 0.0, 1.0, 0.0)
+        term_f = (1.0 - new_f) * jnp.where(done_val > 0.5, 1.0, 0.0)
+        stop_new = jnp.maximum(new_f, term_f)
+        # Integer parity of the f32 depth counter (exact for small ints).
+        is_even_f = jnp.where(depth - 2.0 * jnp.floor(depth * 0.5) < 0.5,
+                              1.0, 0.0)
+        even = even + (act_f * is_even_f) * cur_ohf
+        odd = odd + (act_f * (1.0 - is_even_f)) * cur_ohf
+        nxt = stop_new * curs + (1.0 - stop_new) * child_c
+        nxt_n = stop_new * n_cur + (1.0 - stop_new) * child_n
+
+        def blend(new, old):
+            return act_f * new + (1.0 - act_f) * old
+
         return (
-            jnp.where(act_lane, nxt, curs),
-            jnp.where(act_lane, nxt_n, n_cur),
-            jnp.where(act_lane, action_new, action),
-            jnp.where(act_lane, child_new, child),
-            jnp.where(act_lane, p_sel_new, p_sel),
-            jnp.where(act_lane, stop_new, stop),
-            jnp.where(act_lane, depth + 1, depth),
+            blend(nxt, curs),
+            blend(nxt_n, n_cur),
+            blend(action_new * ones_bt, action),
+            blend(child_new, child),
+            blend(p_sel_new, p_sel),
+            blend(stop_new, stop),
+            blend(depth + 1.0, depth),
             even, odd,
         )
 
-    zeros_bt = jnp.zeros((blk, T), jnp.float32)
-    init = (
-        jnp.zeros((blk,), jnp.int32),             # cur = root
-        nN[:, 0],                                  # n_cur = root N
-        jnp.full((blk,), -1, jnp.int32),           # action
-        jnp.full((blk,), -1.0, jnp.float32),       # child (raw id, -1 = new)
-        jnp.zeros((blk,), jnp.float32),            # p_sel
-        jnp.zeros((blk,), jnp.bool_),              # stop
-        jnp.zeros((blk,), jnp.int32),              # depth
-        zeros_bt, zeros_bt,                        # even / odd
-    )
-    curs, _, action, child, p_sel, _, depth, even, odd = jax.lax.while_loop(
-        cond, body, init)
+    root_mask = jnp.where(t_iota_f2 == 0.0, 1.0, 0.0)
+    n_root = jnp.max(root_mask * nN, axis=1, keepdims=True) * ones_bt
 
-    scal_ref[:, 0] = curs.astype(jnp.float32)
-    scal_ref[:, 1] = action.astype(jnp.float32)
-    scal_ref[:, 2] = child
-    scal_ref[:, 3] = (child >= 0.0).astype(jnp.float32)
-    scal_ref[:, 4] = depth.astype(jnp.float32)
-    scal_ref[:, 5] = p_sel
-    scal_ref[:, 6] = jnp.zeros((blk,), jnp.float32)
-    scal_ref[:, 7] = jnp.zeros((blk,), jnp.float32)
-    even_ref[...] = even
-    odd_ref[...] = odd
+    def _run(curs_s, ncur_s, action_s, child_s, psel_s, stop_s, depth_s):
+        curs_s[...] = zeros_bt
+        ncur_s[...] = n_root
+        action_s[...] = zeros_bt - 1.0
+        child_s[...] = zeros_bt - 1.0
+        psel_s[...] = zeros_bt
+        stop_s[...] = zeros_bt
+        depth_s[...] = zeros_bt
+        even_ref[...] = zeros_bt
+        odd_ref[...] = zeros_bt
+        _loop(curs_s, ncur_s, action_s, child_s, psel_s, stop_s, depth_s)
+        child = child_s[...]
+        scal_ref[:, 0:1] = jnp.max(curs_s[...], axis=1, keepdims=True)
+        scal_ref[:, 1:2] = jnp.max(action_s[...], axis=1, keepdims=True)
+        scal_ref[:, 2:3] = jnp.max(child, axis=1, keepdims=True)
+        scal_ref[:, 3:4] = jnp.max(
+            jnp.where(child >= 0.0, 1.0, 0.0), axis=1, keepdims=True)
+        scal_ref[:, 4:5] = jnp.max(depth_s[...], axis=1, keepdims=True)
+        scal_ref[:, 5:6] = jnp.max(psel_s[...], axis=1, keepdims=True)
+        scal_ref[:, 6:8] = jnp.zeros((blk, 2), jnp.float32)
+
+    pl.run_scoped(
+        _run,
+        *[pltpu.VMEM((blk, T), jnp.float32) for _ in range(7)],
+    )
 
 
 @functools.partial(
