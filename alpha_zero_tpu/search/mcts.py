@@ -101,20 +101,29 @@ def _use_gather(piece: str) -> bool:
 #              on-chip ONCE per simulation; the XLA lowering re-sweeps it
 #              from HBM once per descent step.
 #   "xla"    — the one-hot/while_loop lowering (_select_leaf).
-#   "auto"   — pallas on TPU backends, xla elsewhere (CPU interpret-mode
-#              pallas is slow; tests opt in explicitly).
+#   "auto"   — on TPU backends, pallas when the per-lane child_P row block
+#              is big enough that select is HBM-sweep-bound; xla elsewhere.
 # Read once at import time, like AZT_INDEXING above.
 SELECT_MODE = os.environ.get("AZT_SELECT", "auto")
 
+# v5e measurements (bench.py, B=1024, round 5): the Pallas descent trades
+# one child_P HBM sweep per SIM against [blk, T, A] VPU passes per descent
+# STEP. Small trees are compute-bound and lose (go9 T*A=16.5k: 1,583 vs
+# 2,000 e/s); big trees are sweep-bound and win (gomoku13 T*A=64k: 674 vs
+# 541 e/s). Crossover sits between — use bytes-per-lane >= 128 KB.
+_PALLAS_SELECT_MIN_ROW_BYTES = 128 * 1024
 
-def _use_pallas_select() -> bool:
+
+def _use_pallas_select(capacity: int, num_actions: int) -> bool:
     if INDEXING == "gather" and "select" in GATHER_PIECES:
         return False  # explicit gather experiments keep the XLA path
     if SELECT_MODE == "pallas":
         return True
     if SELECT_MODE == "xla":
         return False
-    return jax.default_backend() not in ("cpu",)
+    if jax.default_backend() in ("cpu",):
+        return False
+    return capacity * num_actions * 4 >= _PALLAS_SELECT_MIN_ROW_BYTES
 
 
 @struct.dataclass
@@ -941,7 +950,7 @@ def batched_search(
             functools.partial(_add_dirichlet_noise, eps=dirichlet_eps, alpha=dirichlet_alpha)
         )(trees, noise_rngs)
 
-    if _use_pallas_select():
+    if _use_pallas_select(capacity, engine.num_actions):
         from alpha_zero_tpu.ops import tree_kernels
 
         def select(trees):
