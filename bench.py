@@ -152,23 +152,34 @@ def main() -> None:
     print(f"# compile+warmup({warmup_steps} steps)={compile_time:.1f}s",
           file=sys.stderr, flush=True)
 
+    # PIPELINED TIMING (matches the real training loop,
+    # training/pipeline.py:selfplay_until): dispatch step k+1, then force
+    # completion of step k via a device->host scalar — per-step host/tunnel
+    # latency overlaps device compute instead of serializing with it. Every
+    # step's completion is still proven by a real value on the host.
     t0 = time.time()
     done_steps = 0
+    prev = None
     for i in range(timed_steps):
         rng, sub = jax.random.split(rng)
         sp, out = step_fn(variables, sp, sub, threshold)
-        _ = float(jnp.sum(out.search_pi))  # force real completion (see above)
-        done_steps = i + 1
-        elapsed = time.time() - t0
-        rate = batch * done_steps / elapsed
-        # Partial result after every step: a timeout still leaves a number.
-        emit(rate, partial=done_steps < timed_steps)
-        print(f"# step {done_steps}/{timed_steps}: {rate:,.0f} env-steps/s "
-              f"({rate * loop_len:,.0f} NN sims/s, {rate * num_sims:,.0f} "
-              f"budget sims/s)", file=sys.stderr, flush=True)
+        if prev is not None:
+            _ = float(jnp.sum(prev.search_pi))
+            done_steps = i  # steps 0..i-1 proven complete
+            elapsed = time.time() - t0
+            rate = batch * done_steps / elapsed
+            # Partial result after every step: a timeout still leaves a number.
+            emit(rate, partial=True)
+            print(f"# step {done_steps}/{timed_steps}: {rate:,.0f} env-steps/s "
+                  f"({rate * loop_len:,.0f} NN sims/s, {rate * num_sims:,.0f} "
+                  f"budget sims/s)", file=sys.stderr, flush=True)
+        prev = out
+    _ = float(jnp.sum(prev.search_pi))
+    done_steps = timed_steps
 
     elapsed = time.time() - t0
     env_steps_per_s = batch * done_steps / elapsed
+    emit(env_steps_per_s, partial=False)
     print(
         f"# config={config_name} batch={batch} sims={num_sims} reuse={reuse} "
         f"max_new_sims={max_new_sims} dp={bench_dp or 1} "
