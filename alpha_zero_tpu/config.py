@@ -136,6 +136,12 @@ class RunConfig:
     # Elo is komi/color noise at 1 sample. >1 = that many stochastic lockstep
     # games with alternating colors (eval/match.py player), Elo per game.
     eval_games: int = 16
+    # Run evaluations on a background thread (the reference's concurrent
+    # evaluator-process topology, training_go.py:292-314): the next
+    # generation's self-play starts immediately after training instead of
+    # waiting for the matches + pro-metrics pass. A crash loses queued
+    # evaluations' csv rows (as the reference loses its evaluator process).
+    eval_async: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

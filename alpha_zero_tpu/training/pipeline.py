@@ -707,6 +707,52 @@ class Trainer:
         except (OSError, KeyError, ValueError):
             return None
 
+    def start_async_evaluator(self) -> None:
+        """Runs evaluations on a background worker thread so the next
+        generation's self-play starts immediately after training — the
+        reference topology, where the evaluator is its own process on its
+        own GPU concurrent with the learner (training_go.py:292-314). On a
+        single chip the evaluator's device work still interleaves with
+        self-play dispatches (JAX queues are per-device FIFO), but its
+        host-side cost — CSV/SGF writing, dataset streaming, result
+        collection over the tunnel — fully overlaps. Ordering per
+        checkpoint (Elo continuity) is preserved by the single worker.
+        Trade-off vs inline: a crash loses the queued evaluations' csv rows
+        (the reference loses the same when its evaluator process dies)."""
+        import queue
+        import threading
+
+        if getattr(self, "_eval_queue", None) is not None:
+            return
+        self._eval_queue = queue.Queue()
+
+        def worker():
+            while True:
+                item = self._eval_queue.get()
+                if item is None:
+                    self._eval_queue.task_done()
+                    return
+                variables, steps = item
+                try:
+                    self._evaluate_and_record(variables, steps)
+                except Exception as e:  # noqa: BLE001 - keep the worker alive
+                    self.logger.error(
+                        f"async evaluation for step {steps} failed: {e}")
+                finally:
+                    self._eval_queue.task_done()
+
+        self._eval_thread = threading.Thread(
+            target=worker, name="evaluator", daemon=True)
+        self._eval_thread.start()
+
+    def finish_async_evaluator(self) -> None:
+        if getattr(self, "_eval_queue", None) is None:
+            return
+        self._eval_queue.join()
+        self._eval_queue.put(None)
+        self._eval_thread.join()
+        self._eval_queue = None
+
     def run_evaluation(self) -> Optional[dict]:
         """Evaluates the current weights; writes evaluation.csv + eval SGF.
         Multi-host: host0 alone reassembles the weights from its RESIDENT
@@ -721,8 +767,20 @@ class Trainer:
             if not self.is_host0:
                 return None
             variables = self._mh.host_resident_value(variables)
+        if getattr(self, "_eval_queue", None) is not None:
+            # Async mode: hand the checkpoint to the worker thread; self-play
+            # of the next generation proceeds immediately. The weights are
+            # snapshotted to HOST memory first — the learner's next train
+            # step donates the device buffers, which must not race the
+            # worker's matches.
+            self._eval_queue.put(
+                (jax.device_get(variables), self.training_steps))
+            return None
+        return self._evaluate_and_record(variables, self.training_steps)
+
+    def _evaluate_and_record(self, variables, training_steps) -> Optional[dict]:
         try:
-            stats = self.evaluator.evaluate(variables, seed=self.training_steps)
+            stats = self.evaluator.evaluate(variables, seed=training_steps)
         except Exception as e:  # noqa: BLE001
             # The reference evaluator is a separate process whose death never
             # takes down the learner (training_go.py:292-314); keep that
@@ -734,14 +792,14 @@ class Trainer:
             log = (self.logger.error if self._eval_failures >= 3
                    else self.logger.warning)
             log(
-                f"evaluation failed for step {self.training_steps} "
+                f"evaluation failed for step {training_steps} "
                 f"({self._eval_failures} consecutive): {e}"
             )
             return None
         self._eval_failures = 0
         moves = stats.pop("_moves", [])
         sgf_result = stats.pop("_sgf_result", stats.get("game_result", ""))
-        row = {"datetime": get_time_stamp(), "training_steps": self.training_steps,
+        row = {"datetime": get_time_stamp(), "training_steps": training_steps,
                **stats}
         self.eval_writer.write(row)
         if self.cfg.run.save_sgf_dir and moves:
@@ -755,7 +813,7 @@ class Trainer:
             )
             path = os.path.join(
                 self.cfg.run.save_sgf_dir,
-                f"eval_training_steps_{self.training_steps}.sgf",
+                f"eval_training_steps_{training_steps}.sgf",
             )
             with open(path, "w") as f:
                 f.write(content)
@@ -765,6 +823,9 @@ class Trainer:
     def run(self, on_checkpoint: Optional[Callable[["Trainer"], None]] = None) -> None:
         """Full training loop to ``max_training_steps``."""
         cfg = self.cfg
+        if cfg.run.eval_async and self.evaluator is not None and (
+                not self.multihost or self.is_host0):
+            self.start_async_evaluator()
         first = True
         while self.training_steps < cfg.train.max_training_steps:
             target = cfg.train.min_games if first else cfg.train.games_per_ckpt
@@ -777,6 +838,7 @@ class Trainer:
             self.run_evaluation()
             if on_checkpoint is not None:
                 on_checkpoint(self)
+        self.finish_async_evaluator()
         self.actor_writer.close()
         self.train_writer.close()
         self.eval_writer.close()

@@ -174,3 +174,24 @@ def test_elo_continuity_across_resume(tmp_path):
     first = seg2[0]
     b, w = float(first["black_elo_rating"]), float(first["white_elo_rating"])
     assert abs(b - last_rating) <= 32.0 and abs(w - last_rating) <= 32.0
+
+
+def test_async_evaluator_pipeline(tmp_path):
+    """eval_async=True: evaluations run on the worker thread; every
+    checkpoint still gets its evaluation.csv row, in step order."""
+    import dataclasses
+    import csv
+
+    cfg = micro_config(tmp_path)
+    cfg = dataclasses.replace(
+        cfg, run=dataclasses.replace(cfg.run, eval_async=True, eval_games=2))
+    trainer = pipeline.Trainer(cfg)
+    trainer.enable_evaluator()
+    trainer.run()
+    trainer.evaluator  # built
+    path = os.path.join(cfg.run.logs_dir, "evaluation.csv")
+    with open(path) as f:
+        rows = list(csv.DictReader(f))
+    # max_training_steps=6 / ckpt_interval=3 -> 2 checkpoints, 2 rows.
+    assert [int(r["training_steps"]) for r in rows] == [3, 6]
+    assert all("black_elo_rating" in r for r in rows)
