@@ -23,12 +23,17 @@ EOF
   RESUME=()
   if [ -n "$LATEST" ]; then
     RESUME+=("--set" "run.load_ckpt=$LATEST")
-    if [ -f "$CKPT_DIR/replay_state.npz" ]; then
-      RESUME+=("--set" "run.load_replay=$CKPT_DIR/replay_state.npz")
-    fi
     echo "=== supervisor: attempt $i resuming from $LATEST ==="
   else
     echo "=== supervisor: attempt $i fresh start ==="
+  fi
+  # Replay is saved every train.save_replay_interval GAMES, so it exists
+  # during the long first generation before any checkpoint does — reload it
+  # even without a checkpoint, or a crash mid-generation-1 restarts the
+  # min_games collection from zero (Trainer.run counts
+  # replay.num_games_added toward the first generation's target).
+  if [ -f "$CKPT_DIR/replay_state.npz" ]; then
+    RESUME+=("--set" "run.load_replay=$CKPT_DIR/replay_state.npz")
   fi
   # ${RESUME[@]+...}: guard the empty-array expansion under `set -u` (bash
   # < 4.4 aborts with 'unbound variable' on a plain "${RESUME[@]}").
