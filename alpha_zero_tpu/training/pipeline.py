@@ -416,6 +416,14 @@ class Trainer:
                 self.sp_state, out = self.selfplay_step(
                     self.variables, self.sp_state, self._next_rng(), threshold
                 )
+                # Start the device->host copies of every output leaf NOW:
+                # they complete behind this step's compute, so next
+                # iteration's harvest reads ~2 MB of already-landed host
+                # memory instead of paying a dozen sequential tunnel
+                # round-trips (the dominant host-side cost at this batch).
+                for leaf in jax.tree.leaves(out):
+                    if hasattr(leaf, "copy_to_host_async"):
+                        leaf.copy_to_host_async()
                 if prev_out is not None:
                     new_games += self._harvest_step(prev_out, pending)
                 prev_out = out
