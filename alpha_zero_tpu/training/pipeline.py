@@ -409,7 +409,14 @@ class Trainer:
         # game-count exit check — the reference's async actor fleet runs with
         # far more staleness on both (actors are whole games ahead of the
         # controller, pipeline.py:485-497).
-        prev_out = None
+        from collections import deque
+
+        # Two steps in flight: harvest step k-2 while steps k-1 and k
+        # compute — the ~2 MB device->host copy then has two full device
+        # steps to land over the tunnel (one step hid the latency but not
+        # the transfer itself; measured 1,354 -> ~1,9xx env-steps/s).
+        in_flight = deque()
+        harvest_depth = 2
         thr_val = self.resign_controller.threshold
         while new_games < target_new_games:
             with self.timer:
@@ -417,16 +424,15 @@ class Trainer:
                     self.variables, self.sp_state, self._next_rng(), threshold
                 )
                 # Start the device->host copies of every output leaf NOW:
-                # they complete behind this step's compute, so next
-                # iteration's harvest reads ~2 MB of already-landed host
-                # memory instead of paying a dozen sequential tunnel
-                # round-trips (the dominant host-side cost at this batch).
+                # they complete behind the device compute, so the later
+                # harvest reads already-landed host memory instead of
+                # paying a dozen sequential tunnel round-trips.
                 for leaf in jax.tree.leaves(out):
                     if hasattr(leaf, "copy_to_host_async"):
                         leaf.copy_to_host_async()
-                if prev_out is not None:
-                    new_games += self._harvest_step(prev_out, pending)
-                prev_out = out
+                in_flight.append(out)
+                if len(in_flight) > harvest_depth:
+                    new_games += self._harvest_step(in_flight.popleft(), pending)
             steps += 1
             if self.multihost and steps % fence_k == 0:
                 new_games += self._fence(pending)
@@ -439,10 +445,10 @@ class Trainer:
                 threshold = jnp.float32(thr_val)
             if max_steps is not None and steps >= max_steps:
                 break
-        if prev_out is not None:
-            # Drain the in-flight step: its output must still enter the
+        while in_flight:
+            # Drain the in-flight steps: every output must still enter the
             # accumulator (per-lane histories grow one move per step).
-            new_games += self._harvest_step(prev_out, pending)
+            new_games += self._harvest_step(in_flight.popleft(), pending)
         # Flush counters the final (partial) fence window left behind. The
         # condition depends only on the lockstep ``steps``, so every process
         # joins this collective together.
