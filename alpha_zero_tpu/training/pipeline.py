@@ -523,8 +523,13 @@ class Trainer:
                 )
             if (
                 cfg.train.save_replay_interval > 0
-                and self.replay.num_games_added % cfg.train.save_replay_interval == 0
+                and self.replay.num_games_added
+                >= getattr(self, "_last_replay_save", 0)
+                + cfg.train.save_replay_interval
             ):
+                # Threshold, not modulo: several games can finish in one
+                # lockstep step, hopping over the exact multiple.
+                self._last_replay_save = self.replay.num_games_added
                 self.replay.save(self._replay_path)
         return new_games
 
