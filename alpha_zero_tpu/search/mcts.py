@@ -123,7 +123,14 @@ def _use_pallas_select(capacity: int, num_actions: int) -> bool:
         return False
     if jax.default_backend() in ("cpu",):
         return False
-    return capacity * num_actions * 4 >= _PALLAS_SELECT_MIN_ROW_BYTES
+    if capacity * num_actions * 4 < _PALLAS_SELECT_MIN_ROW_BYTES:
+        return False
+    # Huge rows (go19_jumbo: 1.16 MB/lane) force lane blocks of 2-4 to fit
+    # VMEM — hundreds of grid programs per call, overhead-bound. Keep XLA
+    # unless at least 8 lanes fit per block.
+    from alpha_zero_tpu.ops import tree_kernels
+
+    return tree_kernels._pick_block(1024, capacity * num_actions * 4) >= 8
 
 
 @struct.dataclass
