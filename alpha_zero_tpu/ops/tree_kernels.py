@@ -124,11 +124,15 @@ def _select_kernel(nN_ref, nW_ref, nP_ref, par_ref, act_ref, done_ref,
         u_t = pb_c * jnp.maximum(nP, 0.0) * (sqn / (1.0 + nN))
         score_t = -q_t + u_t                              # [blk, T]
         pmask_f = jnp.where(par == curs, 1.0, 0.0)        # [blk, T]
+        # One [blk, T, A] scatter pass: each child's score lands at its
+        # action slot (-inf elsewhere). An existing child's score is always
+        # finite, so "has a child at action a" == "score_A[a] > -inf" — no
+        # separate has_child/child-id full-rank passes (the chosen action's
+        # child id is recovered after the argmax with a [blk, T] pass).
         link = (pmask_f[:, :, None] > 0.5) & (actv[:, :, None] == a_iota_f3)
         score_A = jnp.max(
             jnp.where(link, score_t[:, :, None], -jnp.inf), axis=1)
-        child_A = jnp.max(jnp.where(link, t_iota_f3, -1.0), axis=1)
-        has_child = child_A >= 0.0
+        has_child = score_A > -jnp.inf
         # Parent's prior row via a masked max over the VMEM-resident block.
         cur_ohf = jnp.where(t_iota_f2 == curs, 1.0, 0.0)  # [blk, T]
         p_row = jnp.max(
@@ -147,8 +151,10 @@ def _select_kernel(nN_ref, nW_ref, nP_ref, par_ref, act_ref, done_ref,
             jnp.where(scores == max_score, a_iota_f2A, float(A)), axis=1,
             keepdims=True)                                # [blk, 1]
         a_oh = a_iota_f2A == action_new * ones_ba
-        child_col = jnp.max(jnp.where(a_oh, child_A, -1.0), axis=1,
-                            keepdims=True)
+        # Chosen action's child id from the [T] vectors ([blk, T] pass).
+        ch_link = (pmask_f > 0.5) & (actv == action_new * ones_bt)
+        child_col = jnp.max(
+            jnp.where(ch_link, t_iota_f2, -1.0), axis=1, keepdims=True)
         child_new = child_col * ones_bt                   # [blk, T] uniform
         p_sel_new = jnp.max(jnp.where(a_oh, p_row, -9999.0), axis=1,
                             keepdims=True) * ones_bt
