@@ -845,7 +845,15 @@ class Trainer:
         if cfg.run.eval_async and self.evaluator is not None and (
                 not self.multihost or self.is_host0):
             self.start_async_evaluator()
-        first = True
+        # "first" generation = the min_games warm-up, which counts the
+        # replay's existing games (a crash mid-generation-1 resumes the
+        # collection). A run resumed from a CHECKPOINT (training_steps > 0)
+        # is past warm-up: it must collect games_per_ckpt NEW games before
+        # the next training generation, like the reference's
+        # games-since-last-ckpt pacing (pipeline.py:556-558) — otherwise
+        # every crash-restart would immediately train a phantom generation
+        # on stale replay.
+        first = self.training_steps == 0
         while self.training_steps < cfg.train.max_training_steps:
             target = cfg.train.min_games if first else cfg.train.games_per_ckpt
             already = self.replay.num_games_added if first else 0
