@@ -278,7 +278,8 @@ class Trainer:
             self.sp_state = jax.tree.map(
                 lambda x: jax.device_put(x, self.data_sharding), self.sp_state
             )
-        self.accumulator = selfplay_lib.EpisodeAccumulator(batch)
+        self.accumulator = selfplay_lib.EpisodeAccumulator(
+            batch, num_planes=cfg.env.num_planes)
 
         self.actor_writer = CsvWriter(
             os.path.join(cfg.run.logs_dir, f"actor{self.process_index}.csv")

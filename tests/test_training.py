@@ -123,7 +123,7 @@ def _selfplay_setup(engine, batch=4, sims=16):
 def test_selfplay_completes_games_gomoku():
     engine = GomokuEngine(board_size=5, num_stack=2, num_to_win=3)
     step_fn, sp, variables = _selfplay_setup(engine, batch=4, sims=12)
-    acc = selfplay.EpisodeAccumulator(4)
+    acc = selfplay.EpisodeAccumulator(4, num_planes=5)
     threshold = jnp.float32(-1.0)
 
     finished = []
@@ -167,7 +167,7 @@ def test_selfplay_go_with_resign_threshold():
     step_fn = selfplay.make_selfplay_step(engine, net, search_cfg, resign_cfg)
     sp = selfplay.init_selfplay_state(engine, 4, jax.random.PRNGKey(1),
                                       resign_threshold=-0.8, disable_resign_ratio=0.5)
-    acc = selfplay.EpisodeAccumulator(4)
+    acc = selfplay.EpisodeAccumulator(4, num_planes=5)
     finished = []
     for i in range(40):
         sp, out = step_fn(variables, sp, jax.random.PRNGKey(i), jnp.float32(-0.8))
@@ -178,3 +178,17 @@ def test_selfplay_go_with_resign_threshold():
     for game in finished:
         assert game.stats["game_length"] <= 20
         assert game.stats["game_result"] != ""
+
+
+def test_packed_obs_roundtrip():
+    """StepOutput.obs is bit-packed on device; the accumulator's unpack must
+    reproduce the engine observation bit-exactly."""
+    engine = GomokuEngine(board_size=5, num_stack=2, num_to_win=3)
+    step_fn, sp, variables = _selfplay_setup(engine, batch=4, sims=8)
+    ref_obs = np.asarray(jax.vmap(engine.observation)(sp.games))
+    acc = selfplay.EpisodeAccumulator(4, num_planes=5)
+    sp, out = step_fn(variables, sp, jax.random.PRNGKey(0), jnp.float32(-1.0))
+    assert np.asarray(out.obs).ndim == 3  # packed
+    acc.add_step(out)
+    for i in range(4):
+        np.testing.assert_array_equal(acc._obs[i][0], ref_obs[i])
