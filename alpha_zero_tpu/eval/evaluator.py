@@ -190,6 +190,7 @@ class Evaluator:
         self.black_elo = EloRating(rating=default_rating)
         self.white_elo = EloRating(rating=default_rating)
         self.dataset = dataset
+        self._dataset_dev = None  # device-resident copy, uploaded once
         self.prev_variables = None
 
     def restore_continuity(self, rating: float, prev_variables=None) -> None:
@@ -218,13 +219,54 @@ class Evaluator:
                 self.black_elo, self.white_elo,
             )
         if self.dataset is not None and len(self.dataset) > 0:
-            stats.update(eval_on_pro_games(self.metrics_fn, variables, self.dataset))
+            stats.update(self._pro_metrics(variables))
         # Promote: new model becomes the next baseline; assume equal strength
         # (pipeline.py:804-809).
         self.prev_variables = variables
         import copy
 
         self.white_elo = copy.deepcopy(self.black_elo)
+        return stats
+
+    def _pro_metrics(self, variables, batch_size: int = 1024) -> Dict:
+        """Pro-game metrics with the dataset DEVICE-RESIDENT: the 620k-position
+        go9 corpus is ~1 GB of tensors — re-uploading it every checkpoint cost
+        minutes over the tunneled TPU, so it is put on device once and sliced
+        there for each batch (~16 GB HBM holds it alongside self-play)."""
+        if self._dataset_dev is None:
+            ds = self.dataset
+            self._dataset_dev = (
+                jax.device_put(ds.states), jax.device_put(ds.target_pi),
+                jax.device_put(ds.target_v))
+        states, pi, v = self._dataset_dev
+        m = states.shape[0]
+        k_list = (1, 3, 5)
+        total_correct = {k: 0 for k in k_list}
+        total_entropy = 0.0
+        total_mse = 0.0
+        for start in range(0, m - batch_size + 1, batch_size):
+            sl = slice(start, start + batch_size)
+            correct, entropy, mse = self.metrics_fn(
+                variables, states[sl], pi[sl], v[sl])
+            for k in k_list:
+                total_correct[k] += int(correct[k])
+            total_entropy += float(entropy)
+            total_mse += float(mse)
+        tail = m % batch_size
+        if tail:
+            sl = slice(m - tail, m)
+            correct, entropy, mse = self.metrics_fn(
+                variables, states[sl], pi[sl], v[sl])
+            for k in k_list:
+                total_correct[k] += int(correct[k])
+            total_entropy += float(entropy)
+            total_mse += float(mse)
+        stats = {
+            "value_mse_error": total_mse / m,
+            "policy_entropy": total_entropy / m,
+        }
+        for k in k_list:
+            stats[f"policy_top_{k}_accuracy"] = total_correct[k] / m
         return stats
 
     def _play_lockstep(self, black_variables, white_variables, n: int,
