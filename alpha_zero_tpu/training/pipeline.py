@@ -713,6 +713,23 @@ class Trainer:
                     f"evaluation.csv row, prev model = resumed checkpoint"
                 )
 
+    def _games_at_last_ckpt(self) -> Optional[int]:
+        """total_games at the last training.csv row whose step matches the
+        resumed checkpoint (or the closest row at/below it)."""
+        path = os.path.join(self.cfg.run.logs_dir, "training.csv")
+        try:
+            with open(path) as f:
+                import csv as _csv
+
+                best = None
+                for row in _csv.DictReader(f):
+                    step = int(row["training_steps"])
+                    if step <= int(self.training_steps):
+                        best = int(row["total_games"])
+            return best
+        except (OSError, KeyError, ValueError):
+            return None
+
     def _last_recorded_rating(self) -> Optional[float]:
         """Last black (i.e. promoted) Elo rating written to evaluation.csv."""
         path = os.path.join(self.cfg.run.logs_dir, "evaluation.csv")
@@ -855,9 +872,21 @@ class Trainer:
         # every crash-restart would immediately train a phantom generation
         # on stale replay.
         first = self.training_steps == 0
+        resumed = not first
         while self.training_steps < cfg.train.max_training_steps:
             target = cfg.train.min_games if first else cfg.train.games_per_ckpt
             already = self.replay.num_games_added if first else 0
+            if resumed:
+                # Crash-resume mid-generation: credit the games collected
+                # since the last checkpoint (training.csv logs total_games
+                # per step; the restored replay carries num_games_added), so
+                # a tunnel crash doesn't reset the 5k-game quota. The replay
+                # snapshot may lag the crash by < save_replay_interval games
+                # — the quota then overshoots slightly, never undershoots.
+                at_ckpt = self._games_at_last_ckpt()
+                if at_ckpt is not None:
+                    already = max(0, self.replay.num_games_added - at_ckpt)
+                resumed = False
             if self.multihost and first:
                 already = self._mh.global_game_count(already, self.mesh)
             self.selfplay_until(max(0, target - already))
