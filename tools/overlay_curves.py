@@ -34,6 +34,14 @@ GRID = "#e6e5e1"
 
 def load(run_dir: str):
     ev = pd.read_csv(os.path.join(run_dir, "evaluation.csv"))
+    # Merge in offline-backfilled rows (tools/backfill_eval.py) for
+    # checkpoints whose in-run evaluation was lost to a tunnel crash.
+    bf_path = os.path.join(run_dir, "evaluation_backfill.csv")
+    if os.path.exists(bf_path):
+        bf = pd.read_csv(bf_path)
+        missing = bf[~bf["training_steps"].isin(ev["training_steps"])]
+        ev = pd.concat([ev, missing], ignore_index=True)
+    ev = ev.sort_values("training_steps").reset_index(drop=True)
     tr = pd.read_csv(os.path.join(run_dir, "training.csv"))
     games = tr.groupby("training_steps")["total_games"].max()
     ev["total_games"] = ev["training_steps"].map(
