@@ -312,8 +312,17 @@ class Trainer:
                 f"Resumed from checkpoint {cfg.run.load_ckpt} at step {self.training_steps}"
             )
         if cfg.run.load_replay and os.path.exists(cfg.run.load_replay):
-            self.replay.load(cfg.run.load_replay)
-            self.logger.info(f"Loaded replay state from {cfg.run.load_replay}")
+            try:
+                self.replay.load(cfg.run.load_replay)
+                self.logger.info(f"Loaded replay state from {cfg.run.load_replay}")
+            except Exception as e:  # noqa: BLE001
+                # A corrupt snapshot (e.g. killed mid-save before saves were
+                # atomic) must not crash-loop the supervisor; resume with an
+                # empty replay — the same loss the reference has on any crash
+                # (its replay lives in learner RAM).
+                self.logger.error(
+                    f"Replay snapshot {cfg.run.load_replay} unreadable "
+                    f"({e}); starting with an empty replay")
 
         # Global (all-host) finished-game count, advanced by the fence; seeds
         # the resignation controller's global cadence after a replay resume.

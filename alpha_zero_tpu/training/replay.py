@@ -16,6 +16,7 @@ which must not be allocated up front.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Mapping, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
@@ -132,14 +133,18 @@ class UniformReplay:
         self.values = state["values"]
 
     def save(self, path: str) -> None:
+        # Atomic: a crash/kill mid-write must never corrupt the previous
+        # snapshot (a truncated npz crash-loops every supervisor resume).
+        tmp = path + ".tmp.npz"
         np.savez_compressed(
-            path,
+            tmp,
             num_games_added=self.num_games_added,
             num_samples_added=self.num_samples_added,
             states=self.states,
             pi_probs=self.pi_probs,
             values=self.values,
         )
+        os.replace(tmp, path)
 
     def load(self, path: str) -> None:
         data = np.load(path)
