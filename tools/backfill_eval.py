@@ -79,7 +79,7 @@ def main() -> int:
                 engine, net, cfg.search, dataset=dataset,
                 eval_games=1 if args.metrics_only else args.eval_games)
         if args.metrics_only:
-            stats = evaluator._pro_metrics(variables)
+            stats = evaluator._pro_metrics(variables, batch_size=8192)
         else:
             stats = evaluator.evaluate(variables, seed=step)
             stats.pop("_moves", None)

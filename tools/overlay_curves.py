@@ -44,6 +44,18 @@ def load(run_dir: str):
     ev = ev.sort_values("training_steps").reset_index(drop=True)
     tr = pd.read_csv(os.path.join(run_dir, "training.csv"))
     games = tr.groupby("training_steps")["total_games"].max()
+    # Counter-reset correction: total_games mirrors replay.num_games_added,
+    # which restarts from ~0 if a crash loses the replay snapshot; the games
+    # were still PLAYED, so accumulate across resets like any monotonic
+    # counter.
+    vals = games.to_list()
+    offset, prev, corr = 0, None, []
+    for v in vals:
+        if prev is not None and v < prev:
+            offset += prev
+        corr.append(v + offset)
+        prev = v
+    games = pd.Series(corr, index=games.index)
     ev["total_games"] = ev["training_steps"].map(
         lambda s: float(games.reindex(games.index.union([s]))
                         .interpolate("index").loc[s]))
