@@ -73,6 +73,14 @@ from alpha_zero_tpu.envs.types import GameState
 # native-indexing combination loses (all-gather 379, scatter-writes-only 612,
 # read-gathers-only 965) — vmapped gathers/scatters serialize on this
 # hardware, so onehot is the default.
+#
+# STATUS: the gather lowerings are BENCH-ONLY measurement baselines, not
+# supported production paths. Beyond being slower, their batch-level
+# scatter writes belong to the same class as the vmapped-scatter
+# dropped-write miscompile found on the axon TPU backend (PERF.md round 4)
+# and are pinned by CPU-parity tests plus the on-device cross-lowering
+# sweep in tools/search_parity.py — run that sweep on the target
+# accelerator before trusting any gather piece there.
 INDEXING = os.environ.get("AZT_INDEXING", "onehot")
 
 # Per-piece override: which hot-loop pieces use the gather lowering when
