@@ -31,14 +31,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _padded_lane_bytes(t: int, a: int) -> int:
+    """VMEM bytes one lane's ``child_P`` row actually occupies: Mosaic tiles
+    f32 as (8, 128), so T rounds up to a multiple of 8 and A to 128 lanes."""
+    return (-(-t // 8) * 8) * (-(-a // 128) * 128) * 4
+
+
 def _pick_block(batch: int, tree_bytes_per_lane: int,
-                vmem_budget: int = 6 * 1024 * 1024) -> int:
+                vmem_budget: int = 12 * 1024 * 1024) -> int:
     """Largest power-of-two lane block that divides ``batch`` and keeps the
-    pipelined (double-buffered) child_P block within the VMEM budget."""
+    block's VMEM footprint within budget. The factor 3 covers the
+    double-buffered child_P block plus the [blk, T, A]-sized temporary the
+    per-step masked scatter materializes (measured: real-bytes x2 budgeting
+    OOM'd scoped VMEM at small-T geometry, e.g. T=65/A=82/blk=128 -> 17.9 MB
+    against the 16 MB stack limit)."""
     blk = 1
     cand = 2
     while cand <= batch and batch % cand == 0:
-        if 2 * cand * tree_bytes_per_lane > vmem_budget:
+        if 3 * cand * tree_bytes_per_lane > vmem_budget:
             break
         blk = cand
         cand *= 2
@@ -233,7 +243,7 @@ def select_leaf_batched(node_N, node_W, node_P, parent_index,
     B, T = node_N.shape
     A = child_P.shape[-1]
     if block <= 0:
-        block = _pick_block(B, T * A * 4)
+        block = _pick_block(B, _padded_lane_bytes(T, A))
     grid = (B // block,)
 
     vec = lambda: pl.BlockSpec((block, T), lambda i: (i, 0),

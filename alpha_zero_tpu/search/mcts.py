@@ -75,12 +75,12 @@ from alpha_zero_tpu.envs.types import GameState
 # hardware, so onehot is the default.
 #
 # STATUS: the gather lowerings are BENCH-ONLY measurement baselines, not
-# supported production paths. Beyond being slower, their batch-level
-# scatter writes belong to the same class as the vmapped-scatter
-# dropped-write miscompile found on the axon TPU backend (PERF.md round 4)
-# and are pinned by CPU-parity tests plus the on-device cross-lowering
-# sweep in tools/search_parity.py — run that sweep on the target
-# accelerator before trusting any gather piece there.
+# supported production paths — because they are slower, not because they
+# are unverified: the on-device cross-lowering sweep
+# (tools/search_parity.py) ran on the TPU at B=256 and B=1024 and every
+# gather piece (and the Pallas select) is bit-identical to this default
+# path on device (PERF.md round 5); re-run the sweep when moving to a new
+# accelerator/backend before trusting any non-default piece there.
 INDEXING = os.environ.get("AZT_INDEXING", "onehot")
 
 # Per-piece override: which hot-loop pieces use the gather lowering when
@@ -138,7 +138,8 @@ def _use_pallas_select(capacity: int, num_actions: int) -> bool:
     # unless at least 8 lanes fit per block.
     from alpha_zero_tpu.ops import tree_kernels
 
-    return tree_kernels._pick_block(1024, capacity * num_actions * 4) >= 8
+    return tree_kernels._pick_block(
+        1024, tree_kernels._padded_lane_bytes(capacity, num_actions)) >= 8
 
 
 @struct.dataclass
