@@ -110,3 +110,26 @@ def test_pallas_full_search_matches_xla(monkeypatch):
                                    np.asarray(out.child_W), rtol=0, atol=0)
         np.testing.assert_array_equal(np.asarray(ref.legal),
                                       np.asarray(out.legal))
+
+
+def test_pick_block_budgets_padded_vmem():
+    """The block picker must budget Mosaic's PADDED footprint (T rounded to
+    8 sublanes, A to 128 lanes, x3 for double-buffered child_P + the
+    per-step masked-scatter temporary) — real-bytes x2 budgeting OOM'd the
+    16 MB scoped-VMEM stack on a v5e at T=65/A=82 (PERF.md round 5)."""
+    pb = tree_kernels._padded_lane_bytes
+    # Padding math: T=65 -> 72 sublanes, A=82 -> 128 lanes.
+    assert pb(65, 82) == 72 * 128 * 4
+    assert pb(201, 82) == 208 * 128 * 4
+    # Every block choice keeps 3 * blk * padded bytes within the 12 MB
+    # budget (i.e. under the 16 MB VMEM stack with headroom).
+    for t, a in ((65, 82), (201, 82), (129, 82), (381, 169), (761, 362)):
+        blk = tree_kernels._pick_block(1024, pb(t, a))
+        assert 3 * blk * pb(t, a) <= 12 * 1024 * 1024, (t, a, blk)
+    # Production geometries keep their measured-good block sizes (changing
+    # these silently would invalidate the PERF.md A/B crossover).
+    assert tree_kernels._pick_block(1024, pb(201, 82)) == 32    # go9
+    assert tree_kernels._pick_block(1024, pb(381, 169)) == 8    # gomoku13
+    assert tree_kernels._pick_block(1024, pb(761, 362)) == 2    # jumbo -> XLA
+    # The sweep geometry that used to OOM now picks a safe 64-lane block.
+    assert tree_kernels._pick_block(1024, pb(65, 82)) == 64
