@@ -54,13 +54,14 @@ else:
 def sim_body(i, trees):
     active = trees.node_N[:, 0] < float(sims)
     slot = trees.num_nodes.astype(jnp.int32)
-    parent, action, child, hit_term, even, odd, depth = select(trees)
+    parent, action, child, hit_term, even, odd, depth, p_sel = select(trees)
     parent_nodes = gather_state(trees.states, parent)
     parent_states = M._game_state_of(parent_nodes, A)
     new_states = tree_engine.step_batch(parent_states, action)
     trees, leaf, needs_eval = materialize(
         trees, slot, parent, action, child, hit_term, active,
-        M._node_state_of(new_states), new_states.done, new_states.last_reward)
+        M._node_state_of(new_states), new_states.done, new_states.last_reward,
+        p_sel)
     history = M._leaf_history_batch(trees, parent, depth, new_states.board, engine.num_stack)
     o = jax.vmap(engine.observation_from)(history, new_states.to_play)
     prior, value = eval_fn(o)
@@ -83,7 +84,7 @@ def timeit(name, fn, *args, iters=100):
 
 sel_j = jax.jit(select)
 t_sel = timeit("select", sel_j, trees)
-parent, action, child, hit_term, even, odd, depth = sel_j(trees)
+parent, action, child, hit_term, even, odd, depth, p_sel = sel_j(trees)
 
 gs_j = jax.jit(lambda t, p: gather_state(t.states, p))
 t_gs = timeit("gather_state", gs_j, trees, parent)
@@ -96,10 +97,10 @@ new_states = st_j(parent_states, action)
 
 slot_v = trees.num_nodes.astype(jnp.int32)
 active_v = trees.node_N[:, 0] < float(sims)
-mat_j = jax.jit(lambda t, sl, p, a, c, h, ac, ns, d, r: materialize(t, sl, p, a, c, h, ac, ns, d, r))
+mat_j = jax.jit(lambda t, sl, p, a, c, h, ac, ns, d, r, ps: materialize(t, sl, p, a, c, h, ac, ns, d, r, ps))
 new_node = jax.jit(M._node_state_of)(new_states)
-t_mat = timeit("materialize", mat_j, trees, slot_v, parent, action, child, hit_term, active_v, new_node, new_states.done, new_states.last_reward)
-trees2, leaf, needs_eval = mat_j(trees, slot_v, parent, action, child, hit_term, active_v, new_node, new_states.done, new_states.last_reward)
+t_mat = timeit("materialize", mat_j, trees, slot_v, parent, action, child, hit_term, active_v, new_node, new_states.done, new_states.last_reward, p_sel)
+trees2, leaf, needs_eval = mat_j(trees, slot_v, parent, action, child, hit_term, active_v, new_node, new_states.done, new_states.last_reward, p_sel)
 
 lh_j = jax.jit(lambda t, p, d, b: M._leaf_history_batch(t, p, d, b, engine.num_stack))
 t_lh = timeit("leaf_history", lh_j, trees2, parent, depth, new_states.board)
